@@ -1,0 +1,118 @@
+"""Materialize the deterministic synthetic tables + golden fixtures to disk.
+
+Tiers per FIXTURES.md: t1 smoke (~2k turns), t2 correctness (~60k turns),
+bench (~2M turns, generated lazily, gitignored). Golden verdicts come from
+the single-node oracle. Files are content-addressed by (tier, seed) and
+cached; regeneration is idempotent and byte-stable.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+DATA_DIR = Path(os.environ.get("FINEWEB_SPARK_DATA", REPO_ROOT / "data"))
+
+TIERS = {"t1": 2_000, "t2": 60_000, "bench": 2_000_000}
+SEED = 42
+
+
+def transcripts_path(tier: str) -> Path:
+    return DATA_DIR / "transcripts" / tier / "transcripts.parquet"
+
+
+def golden_path(tier: str) -> Path:
+    return DATA_DIR / "golden" / tier / "golden_verdicts.parquet"
+
+
+def webdocs_path(tier: str) -> Path:
+    return DATA_DIR / "webdocs" / tier / "webdocs.parquet"
+
+
+def web_golden_path(tier: str) -> Path:
+    return DATA_DIR / "golden" / tier / "golden_web_keep.parquet"
+
+
+def _write(df, path: Path, schema: pa.Schema | None = None) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    table = pa.Table.from_pandas(df, schema=schema, preserve_index=False)
+    tmp = path.with_suffix(".tmp")
+    pq.write_table(table, tmp, compression="snappy")
+    os.replace(tmp, path)  # atomic publish (reference storage.py:220-235 analog)
+
+
+_TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def ensure_transcripts(tier: str) -> Path:
+    p = transcripts_path(tier)
+    if not p.exists():
+        from .generator import generate_transcripts
+
+        df = generate_transcripts(TIERS[tier], seed=SEED)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        _write(df, p, _TRANSCRIPT_SCHEMA)
+    return p
+
+
+def ensure_golden(tier: str) -> Path:
+    p = golden_path(tier)
+    if not p.exists():
+        import pandas as pd
+
+        from .oracle import oracle_verdicts
+
+        src = pq.read_table(ensure_transcripts(tier)).to_pandas(types_mapper=None)
+        # preserve nulls as None for oracle
+        src["text"] = src["text"].astype("string")
+        src["conv_id"] = src["conv_id"].astype("string")
+        verdicts = oracle_verdicts(src)
+        schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("turn_idx", pa.int32()),
+                ("keep", pa.bool_()),
+                ("reject_reason", pa.string()),
+                ("scrubbed_text", pa.string()),
+                ("lang", pa.string()),
+                ("ppl_bucket", pa.int32()),
+            ]
+        )
+        _write(verdicts, p, schema)
+        _ = pd  # keep import local
+    return p
+
+
+def ensure_webdocs(tier: str) -> Path:
+    p = webdocs_path(tier)
+    if not p.exists():
+        from .generator import generate_webdocs
+
+        n = {"t1": 400, "t2": 4_000, "bench": 100_000}[tier]
+        _write(generate_webdocs(n, seed=SEED + 1), p)
+    return p
+
+
+def ensure_web_golden(tier: str) -> Path:
+    p = web_golden_path(tier)
+    if not p.exists():
+        from .oracle import oracle_web_keep
+
+        src = pq.read_table(ensure_webdocs(tier)).to_pandas()
+        src["text"] = src["text"].astype("string")
+        src["url"] = src["url"].astype("string")
+        _write(oracle_web_keep(src), p)
+    return p

@@ -1,0 +1,343 @@
+"""The transcript quality-filter pipeline, Spark-first.
+
+Stage layout (north_rule; reference lifecycle analog SURVEY.md §3.1):
+
+1. heuristic rules        — native Column expressions only (whole-stage
+                            codegen, zero Python in the hot path)
+2. conversation stats     — two-phase salted aggregation (skew-safe for the
+                            giant-conversation case, SURVEY.md P16)
+3. model stage            — ONE Arrow-batched ``mapInPandas`` over heuristic
+                            survivors: language-ID + perplexity with
+                            broadcast numpy artifacts, plus PII/profanity
+                            scrub and the dedup-normalization hash (Python
+                            ``re``/hashlib for byte-exact oracle parity)
+4. dedup                  — window over the norm hash, winner =
+                            min(conv_id, turn_idx)  [deterministic "first"]
+5. verdict assembly       — union of heuristic rejects + scored survivors
+
+Reference analogs: filter chain scripts/stream_filter_stage1.py:190-224,
+model stage scripts/model_inference_stage2_cuda.py:232-303 (broadcast-once,
+batch-vectorized), dedup src/fineweb_legal/storage.py:33-36 +
+scripts/consolidate_and_clean.py:66-81.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import spec
+from .artifacts import get_artifacts
+from .scrub import scrub_text
+from .textstats import norm_hash
+
+if TYPE_CHECKING:
+    from .artifacts import ModelArtifacts
+
+# salt fan-out for the conversation-stats partial aggregation; one
+# 10^8-turn conversation spreads over this many partial groups first.
+CONV_SALT = 16
+
+
+# explicit ASCII whitespace (same class as textstats.WS_CLASS; Java and
+# Python `re` agree byte-for-byte on it, unlike bare \s)
+_WS = "[ \t\n\r\f\x0b]"
+_STOP_RX = "(?<= )(?:" + "|".join(sorted(spec.STOPWORDS)) + ")(?= )"
+
+
+def _norm_ws(text: Column) -> Column:
+    """Whitespace-normalized text: runs collapsed to single spaces, edges
+    trimmed. length(norm) and space counts then give word stats in O(n)
+    string ops — no array allocation, full whole-stage codegen.
+
+    Deliberately avoids lambda higher-order functions (transform/filter/
+    aggregate): those are CodegenFallback in Spark — interpreted per-element
+    closures measured ~1000x slower here, plus ~80s Janino compile time for
+    the collapsed projection.
+    """
+    return F.regexp_replace(F.regexp_replace(text, _WS + "+", " "), "^ | $", "")
+
+
+def _let(df: DataFrame, **cols: Column) -> DataFrame:
+    """Bind expressions to names behind a generator barrier.
+
+    ``explode(array(struct(...)))`` is a deliberate one-row Generate:
+    Catalyst's CollapseProject would otherwise inline every bound expression
+    into each downstream reference, recomputing the regex/array work ~10x
+    per row and blowing generated-code size (measured ~100s of Janino
+    compile + ~0.4ms/row). Generate output is an attribute boundary, so
+    each expression is evaluated exactly once per row and downstream refs
+    are O(1) field reads. Row count is preserved (single-element array) and
+    GenerateExec participates in whole-stage codegen.
+    """
+    s = F.struct(*[c.alias(k) for k, c in cols.items()])
+    return df.select("*", F.explode(F.array(s)).alias("_l")).select("*", "_l.*").drop(
+        "_l"
+    )
+
+
+def heuristic_features(df: DataFrame) -> DataFrame:
+    """Per-turn features as pure Column expressions (no UDFs, no lambdas).
+
+    Definitions mirror fineweb_legal_spark.textstats exactly:
+    - words = maximal non-whitespace runs
+    - word-length sum = len(norm) - (word_count - 1)   [norm has single
+      spaces between words, so total chars minus separators]
+    - lines = '\\n'-split segments trimmed of [ \\t], empties dropped
+    """
+    text = F.col("text")
+
+    # layer 1: normalized strings (each regex chain evaluated once per row)
+    lclean = F.regexp_replace(text, "[ \t]*\n[ \t]*", "\n")
+    lclean = F.regexp_replace(lclean, "^[ \t]+|[ \t]+$", "")
+    lclean = F.regexp_replace(lclean, "\n{2,}", "\n")
+    lclean = F.regexp_replace(lclean, "^\n+|\n+$", "")
+    df = _let(df, _norm=_norm_ws(text), _lclean=lclean)
+
+    # layer 2: token/line arrays and raw counts
+    norm, lc = F.col("_norm"), F.col("_lclean")
+    df = _let(
+        df,
+        n_chars=F.length(text),
+        word_count=F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))),
+        _lower_words=F.split(F.lower(norm), " "),
+        _lines=F.split(lc, "\n"),
+        symbol_count=F.length(text)
+        - F.length(F.regexp_replace(text, spec.SYMBOL_CLASS_RE, "")),
+        stop_count=F.when(norm == "", F.lit(0)).otherwise(
+            F.size(
+                F.regexp_extract_all(
+                    F.concat(F.lit(" "), F.lower(norm), F.lit(" ")),
+                    F.lit(_STOP_RX),
+                    0,
+                )
+            )
+        ),
+    )
+
+    # layer 3: derived ratios (all inputs are plain attributes now)
+    wc = F.col("word_count")
+    line_count = F.when(lc == "", F.lit(0)).otherwise(F.size(F.col("_lines")))
+    df = _let(
+        df,
+        mean_word_len=F.when(
+            wc > 0, (F.length(norm) - (wc - F.lit(1))).cast("double") / wc
+        ),
+        distinct_word_ratio=F.when(
+            wc > 0, F.size(F.array_distinct(F.col("_lower_words"))).cast("double") / wc
+        ),
+        line_count=line_count,
+        dup_line_fraction=F.when(
+            line_count > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.col("_lines"))).cast("double") / line_count,
+        ),
+    )
+    return df.drop("_norm", "_lclean", "_lower_words", "_lines")
+
+
+def conversation_stats(df: DataFrame) -> DataFrame:
+    """(conv_id, conv_mean_words) via salted two-phase aggregation.
+
+    Phase 1 groups on (conv_id, salt) so a single giant conversation fans
+    out across `CONV_SALT` partial groups before the tiny phase-2 merge —
+    the P16 skew pattern. Integer sums keep the final double division
+    bit-identical to the pandas oracle's mean.
+    """
+    norm = _norm_ws(F.col("text"))
+    wc = F.coalesce(
+        F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))), F.lit(0)
+    ).cast("long")
+    partial = (
+        df.select("conv_id", (F.col("turn_idx") % CONV_SALT).alias("_salt"), wc.alias("_wc"))
+        .groupBy("conv_id", "_salt")
+        .agg(F.sum("_wc").alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    return partial.groupBy("conv_id").agg(
+        (F.sum("_s").cast("double") / F.sum("_n")).alias("conv_mean_words")
+    )
+
+
+def heuristic_reason_col() -> Column:
+    """First-failing-stage reason as one short-circuiting when-cascade."""
+    text = F.col("text")
+    n = F.col("n_chars")
+    wc = F.col("word_count")
+    mwl = F.col("mean_word_len")
+    return (
+        F.when(
+            text.isNull()
+            | (n < spec.MIN_TURN_CHARS)
+            | (n > spec.MAX_TURN_CHARS),
+            F.lit("length"),
+        )
+        .when(F.col("conv_mean_words") < spec.MIN_CONV_MEAN_WORDS, F.lit("conv_stats"))
+        .when(
+            (wc < spec.MIN_TURN_WORDS)
+            | (wc > spec.MAX_TURN_WORDS)
+            | mwl.isNull()
+            | (mwl < spec.MIN_MEAN_WORD_LEN)
+            | (mwl > spec.MAX_MEAN_WORD_LEN),
+            F.lit("word_stats"),
+        )
+        .when(
+            (wc >= spec.STOPWORD_MIN_WORDS)
+            & ((F.col("stop_count").cast("double") / wc) < spec.MIN_STOPWORD_RATIO),
+            F.lit("stopword_ratio"),
+        )
+        .when(
+            (
+                (F.col("line_count") >= spec.REPETITION_MIN_LINES)
+                & (F.col("dup_line_fraction") > spec.MAX_DUP_LINE_FRACTION)
+            )
+            | (
+                (wc >= spec.REPETITION_MIN_WORDS)
+                & (F.col("distinct_word_ratio") < spec.MIN_DISTINCT_WORD_RATIO)
+            ),
+            F.lit("repetition"),
+        )
+        .when(
+            (F.col("symbol_count").cast("double") / n) > spec.MAX_SYMBOL_RATIO,
+            F.lit("symbol_ratio"),
+        )
+    )
+
+
+_MODEL_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("ppl_bucket", T.IntegerType()),
+        T.StructField("model_reason", T.StringType()),
+        T.StructField("norm_key", T.StringType()),
+        T.StructField("scrubbed_text", T.StringType()),
+    ]
+)
+
+
+def _model_stage_fn(bc_artifacts):
+    """mapInPandas body: lazily grabs the broadcast artifacts once per task
+    (the D2 'load model once per executor' pattern)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        arts: ModelArtifacts = bc_artifacts.value
+        for pdf in batches:
+            texts = pdf["text"].tolist()
+            langs, buckets, reasons, norms, scrubbed = [], [], [], [], []
+            for t in texts:
+                lang = arts.predict_lang(t)
+                ppl = arts.perplexity(t)
+                langs.append(lang)
+                buckets.append(arts.ppl_bucket(ppl))
+                if lang != spec.LANGID_KEEP_LANG:
+                    reasons.append("lang")
+                    norms.append(None)
+                    scrubbed.append(None)
+                elif ppl > spec.PPL_MAX:
+                    reasons.append("perplexity")
+                    norms.append(None)
+                    scrubbed.append(None)
+                else:
+                    reasons.append(None)
+                    norms.append(norm_hash(t))
+                    scrubbed.append(scrub_text(t))
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"],
+                    "turn_idx": pdf["turn_idx"],
+                    "lang": langs,
+                    "ppl_bucket": buckets,
+                    "model_reason": reasons,
+                    "norm_key": norms,
+                    "scrubbed_text": scrubbed,
+                }
+            )
+
+    return fn
+
+
+def run_pipeline(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
+    """Full verdict frame: (conv_id, turn_idx, keep, reject_reason,
+    scrubbed_text, lang, ppl_bucket) — the golden_verdicts schema."""
+    conv = conversation_stats(transcripts)
+    feats = heuristic_features(transcripts.select("conv_id", "turn_idx", "text"))
+    heur = feats.join(conv, "conv_id").withColumn("heur_reason", heuristic_reason_col())
+
+    rejected = heur.filter(F.col("heur_reason").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        F.lit(False).alias("keep"),
+        F.col("heur_reason").alias("reject_reason"),
+        F.lit(None).cast("string").alias("scrubbed_text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("int").alias("ppl_bucket"),
+    )
+
+    survivors = heur.filter(F.col("heur_reason").isNull()).select(
+        "conv_id", "turn_idx", "text"
+    )
+    bc = spark.sparkContext.broadcast(get_artifacts())
+    scored = survivors.mapInPandas(_model_stage_fn(bc), schema=_MODEL_SCHEMA)
+
+    # dedup: deterministic "first" = min (conv_id, turn_idx) per norm_key.
+    # Rows that already failed the model stage keep norm_key null and are
+    # windowed in their own trivial buckets.
+    w = Window.partitionBy("norm_key").orderBy("conv_id", "turn_idx")
+    deduped = scored.withColumn(
+        "reject_reason",
+        F.coalesce(
+            F.col("model_reason"),
+            F.when(
+                F.col("norm_key").isNotNull() & (F.row_number().over(w) > 1),
+                F.lit("duplicate"),
+            ),
+        ),
+    )
+    survivors_out = deduped.select(
+        "conv_id",
+        "turn_idx",
+        F.col("reject_reason").isNull().alias("keep"),
+        "reject_reason",
+        F.when(F.col("reject_reason").isNull(), F.col("scrubbed_text")).alias(
+            "scrubbed_text"
+        ),
+        "lang",
+        "ppl_bucket",
+    )
+    return rejected.unionByName(survivors_out)
+
+
+def filtered_output(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
+    """Kept turns with scrubbed text joined back to the full input schema,
+    in stable (conv_id, turn_idx) order within partitions."""
+    verdicts = run_pipeline(spark, transcripts).filter("keep")
+    out = transcripts.join(
+        verdicts.select("conv_id", "turn_idx", "scrubbed_text", "lang", "ppl_bucket"),
+        ["conv_id", "turn_idx"],
+    )
+    return out.repartition("conv_id").sortWithinPartitions("conv_id", "turn_idx")
+
+
+def stage_metrics(verdicts: DataFrame) -> DataFrame:
+    """Per-stage keep/drop counts (reference A1/A3 analog)."""
+    return (
+        verdicts.groupBy(F.coalesce("reject_reason", F.lit("kept")).alias("stage"))
+        .agg(F.count(F.lit(1)).alias("turns"))
+        .orderBy("stage")
+    )
+
+
+def ppl_histogram(verdicts: DataFrame) -> DataFrame:
+    """Perplexity-bucket histogram over scored turns (metrics table)."""
+    return (
+        verdicts.filter(F.col("ppl_bucket").isNotNull())
+        .groupBy("ppl_bucket")
+        .agg(F.count(F.lit(1)).alias("turns"))
+        .orderBy("ppl_bucket")
+    )
