@@ -90,13 +90,18 @@ PPL_BUCKET_MAX = 127  # histogram buckets 0..127, clamped
 # --- scrubber (Python `re` ONLY — runs inside the pandas UDF and the oracle,
 #     never as JVM regexp_replace, so both sides share one regex engine) -----
 EMAIL_RE = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*\.[A-Za-z]{2,}")
-# SSN: 123-45-6789 and bare 9-digit runs; guards reject version strings
-# (1.2.3-45-6789), ISBNs (10/13 digits), and digit-adjacent near-misses.
-SSN_RE = re.compile(r"(?<![\d.\-])\d{3}-\d{2}-\d{4}(?![\d.\-])")
-SSN9_RE = re.compile(r"(?<![\d.\-])\d{9}(?![\d.\-])")
+# SSN: 123-45-6789 and bare 9-digit runs; guards reject digit-adjacent
+# contexts (version strings like 1.2.123-45-6789, ISBNs, longer digit runs)
+# while still matching at sentence punctuation ("... 123-45-6789.").
+_NUM_GUARD_L = r"(?<!\d)(?<!\d\.)(?<!\d-)"
+_NUM_GUARD_R = r"(?!\d)(?!\.\d)(?!-\d)"
+SSN_RE = re.compile(_NUM_GUARD_L + r"\d{3}-\d{2}-\d{4}" + _NUM_GUARD_R)
+SSN9_RE = re.compile(_NUM_GUARD_L + r"\d{9}" + _NUM_GUARD_R)
 # US phone formats: (123) 456-7890 | 123-456-7890 | 123.456.7890 | +1 555 123 4567
 PHONE_RE = re.compile(
-    r"(?<![\d.\-])(?:\+?1[-. ])?(?:\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}(?![\d.\-])"
+    _NUM_GUARD_L
+    + r"(?:\+?1[-. ])?(?:\(\d{3}\)[-. ]?|\d{3}[-. ])\d{3}[-. ]\d{4}"
+    + _NUM_GUARD_R
 )
 EMAIL_TOKEN = "[EMAIL]"
 SSN_TOKEN = "[SSN]"

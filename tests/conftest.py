@@ -1,0 +1,27 @@
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from fineweb_legal_spark.session import get_spark
+
+    s = get_spark(master="local[8]", app_name="fineweb_legal_spark_tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def t1_transcripts(spark):
+    from fineweb_legal_spark.datasets import ensure_transcripts
+
+    return spark.read.parquet(str(ensure_transcripts("t1")))
+
+
+@pytest.fixture(scope="session")
+def t1_golden():
+    import pyarrow.parquet as pq
+
+    from fineweb_legal_spark.datasets import ensure_golden
+
+    return pq.read_table(ensure_golden("t1")).to_pandas()
