@@ -22,6 +22,9 @@ SEED = 42
 
 
 def transcripts_path(tier: str) -> Path:
+    if tier == "bench":
+        # directory of files so the Spark scan splits across executors
+        return DATA_DIR / "transcripts" / "bench"
     return DATA_DIR / "transcripts" / tier / "transcripts.parquet"
 
 
@@ -59,6 +62,21 @@ _TRANSCRIPT_SCHEMA = pa.schema(
 
 def ensure_transcripts(tier: str) -> Path:
     p = transcripts_path(tier)
+    if tier == "bench":
+        done = p / "_SUCCESS"
+        if not done.exists():
+            from .generator import generate_transcripts
+
+            df = generate_transcripts(TIERS[tier], seed=SEED)
+            df["ts"] = df["ts"].astype("datetime64[us]")
+            n_files = 64
+            chunk = (len(df) + n_files - 1) // n_files
+            for i in range(n_files):
+                part = df.iloc[i * chunk : (i + 1) * chunk]
+                if len(part):
+                    _write(part, p / f"part_{i:05d}.parquet", _TRANSCRIPT_SCHEMA)
+            done.touch()
+        return p
     if not p.exists():
         from .generator import generate_transcripts
 

@@ -262,9 +262,23 @@ def _model_stage_fn(bc_artifacts):
     return fn
 
 
-def run_pipeline(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    exclude_keys: DataFrame | None = None,
+    include_norm_key: bool = False,
+) -> DataFrame:
     """Full verdict frame: (conv_id, turn_idx, keep, reject_reason,
-    scrubbed_text, lang, ppl_bucket) — the golden_verdicts schema."""
+    scrubbed_text, lang, ppl_bucket) — the golden_verdicts schema.
+
+    ``exclude_keys`` (a DataFrame with a ``norm_key`` column) is the
+    committed-hash registry for resumable runs (reference J1 anti-join,
+    storage.py:81-129): any turn whose normalized-text hash is already
+    committed becomes a 'duplicate'. With groups processed from an empty
+    registry this reproduces the uninterrupted global dedup exactly.
+    ``include_norm_key`` keeps the hash column in the output (the lineage
+    writer persists it so later runs can rebuild the registry from
+    committed data alone)."""
     conv = conversation_stats(transcripts)
     feats = heuristic_features(transcripts.select("conv_id", "turn_idx", "text"))
     heur = feats.join(conv, "conv_id").withColumn("heur_reason", heuristic_reason_col())
@@ -285,20 +299,31 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
     bc = spark.sparkContext.broadcast(get_artifacts())
     scored = survivors.mapInPandas(_model_stage_fn(bc), schema=_MODEL_SCHEMA)
 
+    if exclude_keys is not None:
+        registry = exclude_keys.select("norm_key").distinct().withColumn(
+            "_committed", F.lit(True)
+        )
+        scored = scored.join(registry, "norm_key", "left")
+    else:
+        scored = scored.withColumn("_committed", F.lit(None).cast("boolean"))
+
     # dedup: deterministic "first" = min (conv_id, turn_idx) per norm_key.
-    # Rows that already failed the model stage keep norm_key null and are
-    # windowed in their own trivial buckets.
+    # Model-stage rejects carry a null norm_key and need no dedup — routing
+    # them around the window matters at scale: partitionBy(norm_key) would
+    # funnel every null-key row into ONE window partition (a serial sort
+    # task over all lang/ppl rejects).
+    model_rejected = scored.filter(F.col("norm_key").isNull()).withColumn(
+        "reject_reason", F.col("model_reason")
+    )
     w = Window.partitionBy("norm_key").orderBy("conv_id", "turn_idx")
-    deduped = scored.withColumn(
+    model_passed = scored.filter(F.col("norm_key").isNotNull()).withColumn(
         "reject_reason",
-        F.coalesce(
-            F.col("model_reason"),
-            F.when(
-                F.col("norm_key").isNotNull() & (F.row_number().over(w) > 1),
-                F.lit("duplicate"),
-            ),
+        F.when(
+            F.col("_committed") | (F.row_number().over(w) > 1), F.lit("duplicate")
         ),
     )
+    deduped = model_rejected.unionByName(model_passed)
+    extra = ["norm_key"] if include_norm_key else []
     survivors_out = deduped.select(
         "conv_id",
         "turn_idx",
@@ -309,7 +334,11 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
         ),
         "lang",
         "ppl_bucket",
+        *extra,
     )
+    if include_norm_key:
+        rejected_x = rejected.withColumn("norm_key", F.lit(None).cast("string"))
+        return rejected_x.unionByName(survivors_out)
     return rejected.unionByName(survivors_out)
 
 

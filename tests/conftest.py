@@ -19,6 +19,16 @@ def t1_transcripts(spark):
 
 
 @pytest.fixture(scope="session")
+def t1_verdicts(spark, t1_transcripts):
+    """Pipeline verdicts computed ONCE per test session (each fresh Spark
+    plan pays one-time codegen in this sandbox; see SKILL.md)."""
+    from fineweb_legal_spark.pipeline import run_pipeline
+
+    v = run_pipeline(spark, t1_transcripts).toPandas()
+    return v.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+@pytest.fixture(scope="session")
 def t1_golden():
     import pyarrow.parquet as pq
 

@@ -6,21 +6,14 @@ keep/drop F1 (target 1.0), no duplicate keys, ranges respected.
 
 from __future__ import annotations
 
-import pandas as pd
-
 from fineweb_legal_spark import spec
 from fineweb_legal_spark.pipeline import run_pipeline, stage_metrics
 
 VERDICT_COLS = ["keep", "reject_reason", "scrubbed_text", "lang", "ppl_bucket"]
 
 
-def _verdicts(spark, t1_transcripts) -> pd.DataFrame:
-    v = run_pipeline(spark, t1_transcripts).toPandas()
-    return v.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
-
-
-def test_exact_parity_with_oracle(spark, t1_transcripts, t1_golden):
-    v = _verdicts(spark, t1_transcripts)
+def test_exact_parity_with_oracle(t1_verdicts, t1_golden):
+    v = t1_verdicts
     merged = t1_golden.merge(v, on=["conv_id", "turn_idx"], suffixes=("_g", "_s"))
     assert len(merged) == len(t1_golden) == len(v)
     for col in VERDICT_COLS:
@@ -29,9 +22,8 @@ def test_exact_parity_with_oracle(spark, t1_transcripts, t1_golden):
         assert int(neq.sum()) == 0, f"{col}: {merged[neq].head()}"
 
 
-def test_keep_f1_at_least_099(spark, t1_transcripts, t1_golden):
-    v = _verdicts(spark, t1_transcripts)
-    m = t1_golden.merge(v, on=["conv_id", "turn_idx"], suffixes=("_g", "_s"))
+def test_keep_f1_at_least_099(t1_verdicts, t1_golden):
+    m = t1_golden.merge(t1_verdicts, on=["conv_id", "turn_idx"], suffixes=("_g", "_s"))
     tp = int((m.keep_g & m.keep_s).sum())
     fp = int((~m.keep_g & m.keep_s).sum())
     fn = int((m.keep_g & ~m.keep_s).sum())
@@ -39,8 +31,8 @@ def test_keep_f1_at_least_099(spark, t1_transcripts, t1_golden):
     assert f1 >= 0.99, f1
 
 
-def test_no_duplicate_keys_and_ranges(spark, t1_transcripts):
-    v = _verdicts(spark, t1_transcripts)
+def test_no_duplicate_keys_and_ranges(t1_verdicts):
+    v = t1_verdicts
     assert not v.duplicated(subset=["conv_id", "turn_idx"]).any()
     reasons = set(v["reject_reason"].dropna().unique())
     assert reasons <= set(spec.STAGES)
