@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from fineweb_legal_spark import spec
 from fineweb_legal_spark.datasets import (
+    DATA_DIR,
     ensure_golden,
     ensure_transcripts,
     ensure_web_golden,
@@ -385,6 +386,107 @@ def q_embedding_topk_cosine(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# training-data ops: dedup family / ANN / text analysis / multimodal
+# --------------------------------------------------------------------------
+
+
+def _t1_turns(spark: SparkSession) -> DataFrame:
+    return (
+        spark.read.parquet(str(ensure_transcripts("t1")))
+        .filter("text is not null")
+        .select(
+            F.concat_ws("#", "conv_id", F.format_string("%06d", "turn_idx")).alias("id"),
+            "text",
+        )
+    )
+
+
+def q_minhash_neardup_t1(spark, sf_dir):
+    from fineweb_legal_spark.operators.dedup import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(_t1_turns(spark), threshold=0.9)
+
+
+def q_simhash_neardup_t1(spark, sf_dir):
+    from fineweb_legal_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_t1_turns(spark), max_hamming=3)
+
+
+def q_jaccard_exact_docs(spark, sf_dir):
+    from fineweb_legal_spark.operators.dedup import exact_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    return exact_jaccard_pairs(d, threshold=0.8)
+
+
+def q_langid_docs(spark, sf_dir):
+    from fineweb_legal_spark.operators.textql import predict_language
+
+    return predict_language(spark, _t(spark, sf_dir, "documents"), "doc_id")
+
+
+def q_quality_score_docs(spark, sf_dir):
+    from fineweb_legal_spark.operators.textql import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+
+
+def q_fingerprint_docs(spark, sf_dir):
+    from fineweb_legal_spark.operators.textql import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).select("doc_id", "fingerprint")
+
+
+def q_token_counts_docs(spark, sf_dir):
+    from fineweb_legal_spark.operators.textql import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens", "bpe_ish_tokens"
+    )
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    from fineweb_legal_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, query_ids=list(range(10)), k=5, dim=64)
+
+
+def q_media_meta(spark, sf_dir):
+    from fineweb_legal_spark.datasets import ensure_media
+    from fineweb_legal_spark.operators.multimodal import media_meta
+
+    return media_meta(spark.read.parquet(str(ensure_media("t1"))))
+
+
+def q_media_frame_sample(spark, sf_dir):
+    from fineweb_legal_spark.datasets import ensure_media
+    from fineweb_legal_spark.operators.multimodal import sample_frames
+
+    return sample_frames(spark.read.parquet(str(ensure_media("t1"))), every_n=2)
+
+
+def q_media_embeddings(spark, sf_dir):
+    from fineweb_legal_spark.datasets import ensure_media
+    from fineweb_legal_spark.operators.multimodal import fake_embedding
+
+    emb = fake_embedding(spark.read.parquet(str(ensure_media("t1"))), dim=16)
+    # driver hash compare needs scalar columns: stringify with printf so the
+    # float formatting is engine-independent
+    return emb.select(
+        "media_id",
+        F.concat_ws(
+            ",", F.transform("embedding", lambda x: F.format_string("%.6f", x))
+        ).alias("emb_csv"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_verdicts": q_pipeline_verdicts,
@@ -414,6 +516,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sum_avg_lineitem": q_sum_avg_lineitem,
         "tier_splits_events": q_tier_splits_events,
         "embedding_topk_cosine": q_embedding_topk_cosine,
+        "minhash_neardup_t1": q_minhash_neardup_t1,
+        "simhash_neardup_t1": q_simhash_neardup_t1,
+        "jaccard_exact_docs": q_jaccard_exact_docs,
+        "langid_docs": q_langid_docs,
+        "quality_score_docs": q_quality_score_docs,
+        "fingerprint_docs": q_fingerprint_docs,
+        "token_counts_docs": q_token_counts_docs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "media_meta": q_media_meta,
+        "media_frame_sample": q_media_frame_sample,
+        "media_embeddings": q_media_embeddings,
     }
 
 
@@ -561,5 +674,87 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings v, q
             WHERE v.vec_id <> 0
             ORDER BY cos_sim DESC, v.vec_id ASC LIMIT 10
+        """,
+        # --- training-data ops (goldens built by independent single-node
+        # twins; see tools/build_golden_neardup.py / build_golden_misc.py;
+        # goldens for sf-dir tables are pinned to the driver's sf0.01) ---
+        "minhash_neardup_t1": f"""
+            SELECT id_a, id_b, jaccard
+            FROM read_parquet('{DATA_DIR}/golden/t1/neardup_minhash.parquet')
+        """,
+        "simhash_neardup_t1": f"""
+            SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming
+            FROM read_parquet('{DATA_DIR}/golden/t1/neardup_simhash.parquet')
+        """,
+        "jaccard_exact_docs": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     list_distinct(string_split(lower(trim(text)), ' ')) AS w
+              FROM documents
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                         / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))),
+                         4) AS jaccard
+            FROM d a, d b
+            WHERE a.id < b.id
+              AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                  / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.8
+        """,
+        "langid_docs": f"""
+            SELECT doc_id, pred_lang
+            FROM read_parquet('{DATA_DIR}/golden/sf0.01/langid_docs.parquet')
+        """,
+        "quality_score_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(array_length(string_split(text, ' ')) AS DOUBLE) AS wc,
+                     CAST(len(list_filter(string_split(lower(text), ' '),
+                          x -> x IN ('the','a','and','of','to','in','is')))
+                          AS DOUBLE) AS stop_hits
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(least(1.0, wc / 50) * 0.5
+                         + least(1.0, stop_hits * 10 / wc) * 0.5, 6)
+                       AS quality_score
+            FROM d
+        """,
+        "fingerprint_docs": """
+            SELECT doc_id,
+                   substr(sha256(regexp_replace(regexp_replace(lower(text),
+                          '[ \t\n\r]+', ' ', 'g'), '^ | $', '', 'g')), 1, 16)
+                       AS fingerprint
+            FROM documents
+        """,
+        "token_counts_docs": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text, '\\S{1,4}')) AS BIGINT)
+                       AS bpe_ish_tokens
+            FROM documents
+        """,
+        "lsh_ann_topk": f"""
+            SELECT query_id, vec_id, rank, cos_sim
+            FROM read_parquet('{DATA_DIR}/golden/sf0.01/lsh_ann.parquet')
+        """,
+        "media_meta": f"""
+            SELECT media_id, kind,
+                   CAST(meta->>'$.width' AS INTEGER) AS width,
+                   CAST(meta->>'$.height' AS INTEGER) AS height,
+                   CAST(meta->>'$.channels' AS INTEGER) AS channels,
+                   CAST(meta->>'$.frames' AS INTEGER) AS frames,
+                   octet_length(payload) AS n_bytes
+            FROM read_parquet('{DATA_DIR}/media/t1/media.parquet')
+        """,
+        "media_frame_sample": f"""
+            SELECT media_id, frame_idx, frame_bytes, frame_mean
+            FROM read_parquet('{DATA_DIR}/golden/media_t1/media_frames.parquet')
+        """,
+        "media_embeddings": f"""
+            SELECT media_id,
+                   array_to_string(list_transform(embedding,
+                       x -> printf('%.6f', x)), ',') AS emb_csv
+            FROM read_parquet('{DATA_DIR}/golden/media_t1/media_embeddings.parquet')
         """,
     }

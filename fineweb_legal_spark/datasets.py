@@ -124,6 +124,29 @@ def ensure_webdocs(tier: str) -> Path:
     return p
 
 
+def media_path(tier: str) -> Path:
+    return DATA_DIR / "media" / tier / "media.parquet"
+
+
+def ensure_media(tier: str) -> Path:
+    p = media_path(tier)
+    if not p.exists():
+        from .operators.multimodal import generate_media
+
+        n = {"t1": 200, "t2": 2_000, "bench": 20_000}[tier]
+        df = generate_media(n, seed=SEED + 2)
+        schema = pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("kind", pa.string()),
+                ("meta", pa.string()),
+                ("payload", pa.binary()),
+            ]
+        )
+        _write(df, p, schema)
+    return p
+
+
 def ensure_web_golden(tier: str) -> Path:
     p = web_golden_path(tier)
     if not p.exists():

@@ -1,0 +1,258 @@
+"""Near-duplicate detection family: MinHash+LSH, SimHash, exact n-gram
+Jaccard — the training-data dedup toolkit (beyond the reference's exact-hash
+dedup J1/U3; the reference's normalization idea storage.py:33-36 carries
+over: everything hashes lower-cased, whitespace-normalized word tokens).
+
+Design for 10^12-row scale:
+- signatures/bands are computed in ONE Arrow-batched pandas UDF pass
+  (numpy, crc32 hashing — deterministic across processes, no
+  PYTHONHASHSEED),
+- candidate generation is a self-equi-join on (band, band_hash) — a plain
+  shuffle join Catalyst/AQE can plan and skew-split,
+- verification joins texts back only for CANDIDATE pairs (never the n²
+  cross product).
+
+The brute-force golden builder in tools/build_golden_neardup.py shares the
+shingle/signature helpers below but enumerates all pairs independently.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Mersenne prime 2^31-1: with 32-bit shingle hashes, a*x + b < 2^63 so the
+# whole (n_hashes x n_shingles) universal-hash grid vectorizes in int64
+_MERSENNE = (1 << 31) - 1
+_N_HASHES = 64
+_BANDS = 32  # 32 bands x 2 rows: P(detect | j) = 1-(1-j^2)^32  (~1 at j>=0.7)
+_ROWS = _N_HASHES // _BANDS
+
+_rng = np.random.RandomState(7)
+_A = _rng.randint(1, _MERSENNE, size=_N_HASHES, dtype=np.int64)
+_B = _rng.randint(0, _MERSENNE, size=_N_HASHES, dtype=np.int64)
+
+
+def norm_words(text: str) -> list[str]:
+    return text.lower().split()
+
+
+def word_shingles(text: str, k: int = 3) -> np.ndarray:
+    """crc32 of each k-word shingle of the normalized text (padded with the
+    whole text when shorter than k words so short rows still fingerprint)."""
+    w = norm_words(text)
+    if len(w) < k:
+        grams = [" ".join(w)] if w else []
+    else:
+        grams = [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(
+        np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.int64)
+    )
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """64 minima of universal hashes h_i(x) = (a_i*x + b_i) mod p."""
+    if shingles.size == 0:
+        return np.full(_N_HASHES, _MERSENNE, dtype=np.int64)
+    grid = (_A[:, None] * shingles[None, :] + _B[:, None]) % _MERSENNE
+    return grid.min(axis=1)
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 1.0
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word unigrams (count-weighted)."""
+    w = norm_words(text)
+    if not w:
+        return 0
+    vals, counts = np.unique(np.array(w, dtype=object), return_counts=True)
+    hashes = np.fromiter(
+        (zlib.crc32(v.encode()) | (zlib.crc32(v.encode()[::-1]) << 32) for v in vals),
+        dtype=np.uint64,
+    )
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+    acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for b in range(64):
+        if acc[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return int(out.astype(np.int64))  # reinterpret as signed for Spark LongType
+
+
+# --------------------------------------------------------------------------
+# Spark operators (input contract: columns `id` string, `text` string)
+# --------------------------------------------------------------------------
+
+_BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("band_hash", T.LongType()),
+    ]
+)
+
+
+def _minhash_bands_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, bands, hashes = [], [], []
+        for i, t in zip(pdf["id"], pdf["text"]):
+            if t is None:
+                continue
+            sig = minhash_signature(word_shingles(t))
+            for b in range(_BANDS):
+                chunk = sig[b * _ROWS : (b + 1) * _ROWS]
+                h = zlib.crc32(chunk.tobytes())
+                ids.append(i)
+                bands.append(b)
+                hashes.append(h)
+        yield pd.DataFrame({"id": ids, "band": bands, "band_hash": hashes})
+
+
+_VERIFY_SCHEMA = T.StructType(
+    [
+        T.StructField("id_a", T.StringType()),
+        T.StructField("id_b", T.StringType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ]
+)
+
+
+def _verify_fn(threshold: float):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"id_a": [], "id_b": [], "jaccard": []}
+            for ia, ib, ta, tb in zip(
+                pdf["id_a"], pdf["id_b"], pdf["text_a"], pdf["text_b"]
+            ):
+                j = jaccard(word_shingles(ta), word_shingles(tb))
+                if j >= threshold:
+                    rows["id_a"].append(ia)
+                    rows["id_b"].append(ib)
+                    rows["jaccard"].append(round(j, 4))
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def minhash_neardup_pairs(df: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """LSH candidate pairs verified by exact shingle Jaccard >= threshold.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, deduplicated across
+    bands. Scales as O(rows x bands) + O(candidate pairs), never O(n^2).
+    """
+    src = df.select(F.col("id").cast("string"), "text")
+    bands = src.mapInPandas(_minhash_bands_fn, schema=_BAND_SCHEMA)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    withtext = (
+        cand.join(src.select(F.col("id").alias("id_a"), F.col("text").alias("text_a")), "id_a")
+        .join(src.select(F.col("id").alias("id_b"), F.col("text").alias("text_b")), "id_b")
+    )
+    return withtext.mapInPandas(_verify_fn(threshold), schema=_VERIFY_SCHEMA)
+
+
+_SIMHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("sig", T.LongType()),
+    ]
+)
+
+
+def _simhash_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, sigs = [], []
+        for i, t in zip(pdf["id"], pdf["text"]):
+            if t is None:
+                continue
+            ids.append(i)
+            sigs.append(simhash64(t))
+        yield pd.DataFrame({"id": ids, "sig": pd.array(sigs, dtype="int64")})
+
+
+def simhash_signatures(df: DataFrame) -> DataFrame:
+    return df.select(F.col("id").cast("string"), "text").mapInPandas(
+        _simhash_fn, schema=_SIMHASH_SCHEMA
+    )
+
+
+def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pairs within Hamming distance <= max_hamming of 64-bit SimHash.
+
+    Banding on 4x16-bit chunks guarantees detection for distance <= 3
+    (pigeonhole: at least one chunk is untouched); verification is a native
+    bit_count(xor) — no Python in the join path.
+    """
+    sigs = simhash_signatures(df)
+    chunks = [
+        sigs.select(
+            "id",
+            "sig",
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned("sig", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+        )
+        for c in range(4)
+    ]
+    allc = chunks[0]
+    for c in chunks[1:]:
+        allc = allc.unionByName(c)
+    a = allc.alias("a")
+    b = allc.alias("b")
+    cand = (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+def exact_jaccard_pairs(df: DataFrame, threshold: float) -> DataFrame:
+    """Exact word-set Jaccard over ALL pairs — the small-scale baseline the
+    LSH paths are validated against (O(n^2): use only on bounded inputs)."""
+    words = F.array_distinct(F.split(F.lower(F.trim("text")), " "))
+    t = df.select(F.col("id").cast("string"), words.alias("w"))
+    # nested-loop join parallelism == partitions of the streamed side; a
+    # single-file source would otherwise run the whole n^2 loop in one task
+    a, b = t.repartition(32).alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w")))
+    union = F.size(F.col("a.w")) + F.size(F.col("b.w")) - inter
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,86 @@
+"""Similarity search over embedding columns.
+
+- ``brute_force_topk``: exact cosine top-k (the baseline; used by the
+  driver query `embedding_topk_cosine` with a DuckDB oracle).
+- ``lsh_ann_topk``: random-hyperplane LSH — signature buckets + in-bucket
+  exact re-rank. The scale path: candidate generation is an equi-join on
+  the bucket id, never a cross product. Deterministic (fixed-seed planes),
+  so the numpy twin in tools/build_golden_ann.py reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+N_PLANES = 6  # 64 buckets: ~n/64 candidates per query at test scale
+_PLANE_SEED = 11
+
+
+def planes_for(dim: int) -> np.ndarray:
+    return np.random.RandomState(_PLANE_SEED).randn(N_PLANES, dim)
+
+
+_BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("bucket", T.IntegerType()),
+    ]
+)
+
+
+def _bucketize_fn(dim: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = planes_for(dim)
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy())
+            bits = (mat @ planes.T) > 0  # (n, planes)
+            weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+            buckets = (bits @ weights).astype(np.int32)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": buckets})
+
+    return fn
+
+
+def lsh_buckets(df: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, bucket) for an (vec_id, embedding) table."""
+    return df.select("vec_id", "embedding").mapInPandas(
+        _bucketize_fn(dim), schema=_BUCKET_SCHEMA
+    )
+
+
+def lsh_ann_topk(df: DataFrame, query_ids: list[int], k: int, dim: int) -> DataFrame:
+    """Top-k cosine neighbors per query vector, searched within the query's
+    LSH bucket only (returns (query_id, vec_id, rank, cos_sim))."""
+    b = lsh_buckets(df, dim)
+    vecs = df.select("vec_id", "embedding").join(b, "vec_id")
+    q = (
+        vecs.filter(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("bucket"),
+        )
+    )
+    cand = vecs.join(q, "bucket").filter(F.col("vec_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb", lambda a, x: a * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate("q_emb", F.lit(0.0), lambda acc, x: acc + x * x))
+    scored = cand.select(
+        "query_id", "vec_id", F.round(dot / (na * nb), 4).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_sim")
+    )

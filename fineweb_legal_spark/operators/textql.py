@@ -1,0 +1,82 @@
+"""Text-analysis operators over document tables (training-data pipeline
+utilities): language-ID, quality scoring, token counting, fingerprinting.
+
+All JVM-native except language-ID (Arrow-batched pandas UDF with the
+broadcast trigram artifact — the D2 pattern, SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..artifacts import get_artifacts
+
+# BPE-ish token estimate: word pieces of <=4 chars (reference F16 analog:
+# annotator.py:96-98 uses len//4; here per-word ceil(len/4) which tracks
+# subword tokenizers better)
+_TOKEN_RX = r"\S{1,4}"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    ws_words = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0)).cast("long")
+    bpe_ish = F.size(F.regexp_extract_all(t, F.lit(_TOKEN_RX), 0)).cast("long")
+    return df.withColumn("ws_tokens", ws_words).withColumn("bpe_ish_tokens", bpe_ish)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic [0,1] heuristic quality score: length saturation +
+    stopword presence (mirrors the reference's cheap-heuristics-then-score
+    shape; SQL-mirrored in the driver oracle)."""
+    t = F.col(text_col)
+    wc = F.size(F.split(t, " "))
+    stop_hits = F.size(
+        F.regexp_extract_all(
+            F.concat(F.lit(" "), F.lower(t), F.lit(" ")),
+            F.lit("(?<= )(?:the|a|and|of|to|in|is)(?= )"),
+            0,
+        )
+    )
+    score = F.round(
+        F.least(F.lit(1.0), wc.cast("double") / 50) * 0.5
+        + F.least(F.lit(1.0), stop_hits.cast("double") * 10 / wc) * 0.5,
+        6,
+    )
+    return df.withColumn("quality_score", score)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: sha256 of the whitespace-normalized lowercase
+    text, truncated to 16 hex chars (stable content address)."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[ \t\n\r]+", " "), "^ | $", ""
+    )
+    return df.withColumn("fingerprint", F.substring(F.sha2(norm, 256), 1, 16))
+
+
+_LANGID_SCHEMA_SUFFIX = [T.StructField("pred_lang", T.StringType())]
+
+
+def predict_language(
+    spark: SparkSession, df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """(id, pred_lang) via the broadcast hashed-trigram classifier."""
+    bc = spark.sparkContext.broadcast(get_artifacts())
+    schema = T.StructType(
+        [df.schema[id_col], T.StructField("pred_lang", T.StringType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        arts = bc.value
+        for pdf in batches:
+            preds = [
+                None if t is None else arts.predict_lang(t) for t in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], "pred_lang": preds})
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=schema)

@@ -212,9 +212,9 @@ _MODEL_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
         T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("reason0", T.StringType()),
         T.StructField("lang", T.StringType()),
         T.StructField("ppl_bucket", T.IntegerType()),
-        T.StructField("model_reason", T.StringType()),
         T.StructField("norm_key", T.StringType()),
         T.StructField("scrubbed_text", T.StringType()),
     ]
@@ -223,14 +223,25 @@ _MODEL_SCHEMA = T.StructType(
 
 def _model_stage_fn(bc_artifacts):
     """mapInPandas body: lazily grabs the broadcast artifacts once per task
-    (the D2 'load model once per executor' pattern)."""
+    (the D2 'load model once per executor' pattern).
+
+    Receives ALL rows with the precomputed heuristic reason attached and
+    passes rejects straight through — one linear dataflow, so the plan never
+    branches on this expensive stage (a DataFrame union of filtered branches
+    would recompute the whole UDF per branch)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arts: ModelArtifacts = bc_artifacts.value
         for pdf in batches:
-            texts = pdf["text"].tolist()
-            langs, buckets, reasons, norms, scrubbed = [], [], [], [], []
-            for t in texts:
+            reasons, langs, buckets, norms, scrubbed = [], [], [], [], []
+            for t, heur in zip(pdf["text"], pdf["heur_reason"]):
+                if heur is not None:
+                    reasons.append(heur)
+                    langs.append(None)
+                    buckets.append(None)
+                    norms.append(None)
+                    scrubbed.append(None)
+                    continue
                 lang = arts.predict_lang(t)
                 ppl = arts.perplexity(t)
                 langs.append(lang)
@@ -251,9 +262,9 @@ def _model_stage_fn(bc_artifacts):
                 {
                     "conv_id": pdf["conv_id"],
                     "turn_idx": pdf["turn_idx"],
+                    "reason0": reasons,
                     "lang": langs,
-                    "ppl_bucket": buckets,
-                    "model_reason": reasons,
+                    "ppl_bucket": pd.array(buckets, dtype="Int32"),
                     "norm_key": norms,
                     "scrubbed_text": scrubbed,
                 }
@@ -281,23 +292,18 @@ def run_pipeline(
     committed data alone)."""
     conv = conversation_stats(transcripts)
     feats = heuristic_features(transcripts.select("conv_id", "turn_idx", "text"))
+    # conv is tiny relative to turns (1 row per conversation); at test scale
+    # AQE broadcasts it. At 10^12-turn scale the input table would be
+    # bucket-partitioned by conv_id (storage-partitioned join, no shuffle).
     heur = feats.join(conv, "conv_id").withColumn("heur_reason", heuristic_reason_col())
 
-    rejected = heur.filter(F.col("heur_reason").isNotNull()).select(
-        "conv_id",
-        "turn_idx",
-        F.lit(False).alias("keep"),
-        F.col("heur_reason").alias("reject_reason"),
-        F.lit(None).cast("string").alias("scrubbed_text"),
-        F.lit(None).cast("string").alias("lang"),
-        F.lit(None).cast("int").alias("ppl_bucket"),
-    )
-
-    survivors = heur.filter(F.col("heur_reason").isNull()).select(
-        "conv_id", "turn_idx", "text"
-    )
+    # ONE linear dataflow: every row flows scan -> heuristics -> model UDF
+    # (passthrough for heuristic rejects) -> dedup window -> projection.
+    # No filtered branches + union: each branch would re-execute the whole
+    # upstream (measured 2x heuristics + 2x model on the old shape).
     bc = spark.sparkContext.broadcast(get_artifacts())
-    scored = survivors.mapInPandas(_model_stage_fn(bc), schema=_MODEL_SCHEMA)
+    model_in = heur.select("conv_id", "turn_idx", "text", "heur_reason")
+    scored = model_in.mapInPandas(_model_stage_fn(bc), schema=_MODEL_SCHEMA)
 
     if exclude_keys is not None:
         registry = exclude_keys.select("norm_key").distinct().withColumn(
@@ -308,23 +314,24 @@ def run_pipeline(
         scored = scored.withColumn("_committed", F.lit(None).cast("boolean"))
 
     # dedup: deterministic "first" = min (conv_id, turn_idx) per norm_key.
-    # Model-stage rejects carry a null norm_key and need no dedup — routing
-    # them around the window matters at scale: partitionBy(norm_key) would
-    # funnel every null-key row into ONE window partition (a serial sort
-    # task over all lang/ppl rejects).
-    model_rejected = scored.filter(F.col("norm_key").isNull()).withColumn(
-        "reject_reason", F.col("model_reason")
+    # Rows without a hash (rejects) get a synthetic singleton key so one
+    # window covers everything without funneling all null keys into a
+    # single partition (serial-sort skew) and without branching the plan.
+    wkey = F.coalesce(
+        F.col("norm_key"), F.concat(F.lit("\x00"), "conv_id", F.lit("#"), "turn_idx")
     )
-    w = Window.partitionBy("norm_key").orderBy("conv_id", "turn_idx")
-    model_passed = scored.filter(F.col("norm_key").isNotNull()).withColumn(
+    w = Window.partitionBy(wkey).orderBy("conv_id", "turn_idx")
+    deduped = scored.withColumn(
         "reject_reason",
-        F.when(
-            F.col("_committed") | (F.row_number().over(w) > 1), F.lit("duplicate")
+        F.coalesce(
+            F.col("reason0"),
+            F.when(
+                F.col("_committed") | (F.row_number().over(w) > 1), F.lit("duplicate")
+            ),
         ),
     )
-    deduped = model_rejected.unionByName(model_passed)
     extra = ["norm_key"] if include_norm_key else []
-    survivors_out = deduped.select(
+    return deduped.select(
         "conv_id",
         "turn_idx",
         F.col("reject_reason").isNull().alias("keep"),
@@ -336,10 +343,6 @@ def run_pipeline(
         "ppl_bucket",
         *extra,
     )
-    if include_norm_key:
-        rejected_x = rejected.withColumn("norm_key", F.lit(None).cast("string"))
-        return rejected_x.unionByName(survivors_out)
-    return rejected.unionByName(survivors_out)
 
 
 def filtered_output(spark: SparkSession, transcripts: DataFrame) -> DataFrame:

@@ -1,0 +1,104 @@
+"""Training-data operators vs their independent single-node twins."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from fineweb_legal_spark.datasets import DATA_DIR, ensure_media, ensure_transcripts
+
+
+def _t1_turns(spark):
+    return (
+        spark.read.parquet(str(ensure_transcripts("t1")))
+        .filter("text is not null")
+        .select(
+            F.concat_ws("#", "conv_id", F.format_string("%06d", "turn_idx")).alias(
+                "id"
+            ),
+            "text",
+        )
+    )
+
+
+def _pairs_equal(got: pd.DataFrame, gold: pd.DataFrame, value_col: str) -> None:
+    m = gold.merge(got, on=["id_a", "id_b"], how="outer", indicator=True,
+                   suffixes=("_g", "_s"))
+    assert (m["_merge"] == "both").all(), m[m._merge != "both"].head()
+    assert (m[value_col + "_g"] == m[value_col + "_s"]).all()
+
+
+def test_minhash_lsh_equals_brute_force(spark):
+    from fineweb_legal_spark.operators.dedup import minhash_neardup_pairs
+
+    got = minhash_neardup_pairs(_t1_turns(spark), threshold=0.9).toPandas()
+    gold = pd.read_parquet(DATA_DIR / "golden/t1/neardup_minhash.parquet")
+    _pairs_equal(got, gold, "jaccard")
+
+
+def test_simhash_lsh_equals_brute_force(spark):
+    from fineweb_legal_spark.operators.dedup import simhash_neardup_pairs
+
+    got = simhash_neardup_pairs(_t1_turns(spark), max_hamming=3).toPandas()
+    gold = pd.read_parquet(DATA_DIR / "golden/t1/neardup_simhash.parquet")
+    _pairs_equal(got, gold, "hamming")
+
+
+def test_lsh_ann_matches_numpy_twin(spark):
+    from fineweb_legal_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    got = (
+        lsh_ann_topk(emb, query_ids=list(range(10)), k=5, dim=64)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    gold = (
+        pd.read_parquet(DATA_DIR / "golden/sf0.01/lsh_ann.parquet")
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"rank": "int64"}), gold.astype({"rank": "int64"})
+    )
+
+
+def test_media_ops(spark):
+    from fineweb_legal_spark.operators.multimodal import (
+        fake_embedding,
+        media_meta,
+        sample_frames,
+    )
+
+    media = spark.read.parquet(str(ensure_media("t1")))
+    meta = media_meta(media).toPandas()
+    assert len(meta) == 200
+    img = meta[meta.kind == "image"]
+    assert (img.n_bytes == img.width * img.height * img.channels).all()
+
+    frames = sample_frames(media, every_n=2).toPandas()
+    gold = pd.read_parquet(DATA_DIR / "golden/media_t1/media_frames.parquet")
+    m = gold.merge(frames, on=["media_id", "frame_idx"], suffixes=("_g", "_s"))
+    assert len(m) == len(gold) == len(frames)
+    assert (m.frame_mean_g == m.frame_mean_s).all()
+
+    emb = fake_embedding(media, dim=16).toPandas()
+    assert len(emb) == 200
+    import numpy as np
+
+    norms = [np.linalg.norm(np.array(e)) for e in emb.embedding]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms)
+
+
+def test_textql_token_counts(spark):
+    from fineweb_legal_spark.operators.textql import fingerprint, token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = token_counts(docs).select("doc_id", "text", "ws_tokens", "bpe_ish_tokens").toPandas()
+    for _, r in got.head(50).iterrows():
+        words = r.text.split()
+        assert r.ws_tokens == len(words)
+        assert r.bpe_ish_tokens == sum((len(w) + 3) // 4 for w in words)
+    fp = fingerprint(docs).select("fingerprint").toPandas()
+    assert fp.fingerprint.str.fullmatch("[0-9a-f]{16}").all()

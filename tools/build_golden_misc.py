@@ -1,0 +1,113 @@
+"""Goldens for the non-SQL-expressible operators, built by independent
+single-node numpy/pandas twins (no Spark):
+
+- langid over sf0.01 documents          -> golden/sf0.01/langid_docs.parquet
+- LSH-ANN top-k over sf0.01 embeddings  -> golden/sf0.01/lsh_ann.parquet
+- media frame sampling + fake embedding -> golden/media_t1/*.parquet
+
+These goldens are pinned to the sf0.01 driver tables / t1 media tier (the
+driver's correctness gate runs at sf=0.01).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from fineweb_legal_spark.artifacts import get_artifacts  # noqa: E402
+from fineweb_legal_spark.datasets import DATA_DIR, ensure_media  # noqa: E402
+from fineweb_legal_spark.operators.similarity import (  # noqa: E402
+    N_PLANES,
+    planes_for,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+ANN_QUERY_IDS = list(range(10))
+ANN_K = 5
+
+
+def build_langid(out: Path) -> None:
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    arts = get_artifacts()
+    preds = [None if t is None else arts.predict_lang(t) for t in docs["text"]]
+    pd.DataFrame({"doc_id": docs["doc_id"], "pred_lang": preds}).to_parquet(
+        out / "langid_docs.parquet", index=False
+    )
+
+
+def build_ann(out: Path) -> None:
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    dim = mat.shape[1]
+    planes = planes_for(dim)
+    bits = (mat @ planes.T) > 0
+    weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+    buckets = bits @ weights
+    rows = {"query_id": [], "vec_id": [], "rank": [], "cos_sim": []}
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in ANN_QUERY_IDS:
+        qi = int(np.where(ids == qid)[0][0])
+        mask = (buckets == buckets[qi]) & (ids != qid)
+        cand = np.where(mask)[0]
+        if cand.size == 0:
+            continue
+        cos = (mat[cand] @ mat[qi]) / (norms[cand] * norms[qi])
+        cos = np.round(cos, 4)
+        order = sorted(zip(-cos, ids[cand]))[:ANN_K]
+        for rank, (negc, vid) in enumerate(order, start=1):
+            rows["query_id"].append(qid)
+            rows["vec_id"].append(int(vid))
+            rows["rank"].append(rank)
+            rows["cos_sim"].append(float(-negc))
+    pd.DataFrame(rows).to_parquet(out / "lsh_ann.parquet", index=False)
+
+
+def build_media(out: Path) -> None:
+    media = pq.read_table(ensure_media("t1")).to_pandas()
+    vids = media[media["kind"] == "video"]
+    frames = {"media_id": [], "frame_idx": [], "frame_bytes": [], "frame_mean": []}
+    every_n = 2
+    for mid, meta_s, payload in zip(vids["media_id"], vids["meta"], vids["payload"]):
+        meta = json.loads(meta_s)
+        fsize = meta["width"] * meta["height"] * meta["channels"]
+        for fi in range(0, len(payload) // fsize, every_n):
+            chunk = np.frombuffer(payload[fi * fsize : (fi + 1) * fsize], np.uint8)
+            frames["media_id"].append(mid)
+            frames["frame_idx"].append(fi)
+            frames["frame_bytes"].append(fsize)
+            frames["frame_mean"].append(round(float(chunk.mean()), 4))
+    pd.DataFrame(frames).to_parquet(out / "media_frames.parquet", index=False)
+
+    dim = 16
+    embs = {"media_id": [], "embedding": []}
+    for mid, payload in zip(media["media_id"], media["payload"]):
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+        v = hist.astype(np.float32)
+        n = np.linalg.norm(v)
+        embs["media_id"].append(mid)
+        embs["embedding"].append((v / n if n else v).round(6).tolist())
+    pd.DataFrame(embs).to_parquet(out / "media_embeddings.parquet", index=False)
+
+
+def main() -> None:
+    out = DATA_DIR / "golden" / "sf0.01"
+    out.mkdir(parents=True, exist_ok=True)
+    build_langid(out)
+    build_ann(out)
+    mout = DATA_DIR / "golden" / "media_t1"
+    mout.mkdir(parents=True, exist_ok=True)
+    build_media(mout)
+    print("goldens written to", out, "and", mout)
+
+
+if __name__ == "__main__":
+    main()
