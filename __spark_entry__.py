@@ -487,6 +487,53 @@ def q_media_embeddings(spark, sf_dir):
     )
 
 
+def q_truncate_docs(spark, sf_dir):
+    # F15: word-boundary truncation + ellipsis (annotator.py:89-94 analog)
+    from fineweb_legal_spark.validation import word_boundary_truncate
+
+    return word_boundary_truncate(
+        _t(spark, sf_dir, "documents"), "text", limit=120
+    ).select("doc_id", "truncated")
+
+
+def q_value_stats_events(spark, sf_dir):
+    # A5: describe()-style stats
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+        F.round(F.avg("value"), 4).alias("v_avg"),
+        F.round(F.stddev_samp("value"), 4).alias("v_std"),
+    )
+
+
+def q_hash_sample_docs(spark, sf_dir):
+    # O5 determinism-hardened: reproducible hash sampling
+    from fineweb_legal_spark.validation import hash_sample
+
+    return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 1).select("doc_id")
+
+
+def q_validate_t2(spark, sf_dir):
+    # A12/§5.1 analog: validation report over the pipeline verdicts
+    from fineweb_legal_spark.validation import validate_verdicts
+
+    return validate_verdicts(run_pipeline(spark, _transcripts(spark)))
+
+
+def q_split_counts_docs(spark, sf_dir):
+    # stratified-hash split assignment + per-split counts (reference
+    # create_dataset_splits analog, determinism-hardened)
+    from fineweb_legal_spark.operators.splits import assign_splits
+
+    return (
+        assign_splits(_t(spark, sf_dir, "documents"), "doc_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy("split")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pipeline_verdicts": q_pipeline_verdicts,
@@ -527,6 +574,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frame_sample,
         "media_embeddings": q_media_embeddings,
+        "truncate_docs": q_truncate_docs,
+        "value_stats_events": q_value_stats_events,
+        "hash_sample_docs": q_hash_sample_docs,
+        "validate_t2": q_validate_t2,
+        "split_counts_docs": q_split_counts_docs,
     }
 
 
@@ -756,5 +808,83 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_transform(embedding,
                        x -> printf('%.6f', x)), ',') AS emb_csv
             FROM read_parquet('{DATA_DIR}/golden/media_t1/media_embeddings.parquet')
+        """,
+        "truncate_docs": """
+            SELECT doc_id,
+                   CASE WHEN length(text) > 120
+                        THEN coalesce(nullif(regexp_extract(
+                                 substr(text, 1, 120), '^(.*)\\s\\S*$', 1), ''),
+                                 substr(text, 1, 120)) || '...'
+                        ELSE text END AS truncated
+            FROM documents
+        """,
+        "value_stats_events": """
+            SELECT round(min(value), 4) AS v_min,
+                   round(max(value), 4) AS v_max,
+                   round(avg(value), 4) AS v_avg,
+                   round(stddev_samp(value), 4) AS v_std
+            FROM events
+        """,
+        "hash_sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        """,
+        "split_counts_docs": """
+            WITH d AS (
+              SELECT doc_id,
+                     (strpos('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                     + (strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                         AS bucket
+              FROM documents
+            )
+            SELECT CASE WHEN bucket < 179 THEN 'train'
+                        WHEN bucket < 218 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS docs
+            FROM d GROUP BY 1 ORDER BY 1
+        """,
+        "validate_t2": f"""
+            WITH g AS (SELECT * FROM read_parquet('{_golden_sql_path()}')),
+            a AS (
+              SELECT
+                CAST(sum(CASE WHEN ppl_bucket IS NOT NULL
+                     AND (ppl_bucket < 0 OR ppl_bucket > {spec.PPL_BUCKET_MAX})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS bad_bucket,
+                CAST(sum(CASE WHEN keep AND scrubbed_text IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_without_text,
+                CAST(sum(CASE WHEN keep AND length(regexp_replace(
+                     scrubbed_text, '[ \t\n\r]', '', 'g')) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS kept_empty_text,
+                CAST(sum(CASE WHEN NOT keep AND reject_reason IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS dropped_without_reason
+              FROM g
+            ),
+            d AS (
+              SELECT CAST(count(*) AS BIGINT) AS dup_keys FROM (
+                SELECT conv_id, turn_idx FROM g
+                GROUP BY conv_id, turn_idx HAVING count(*) > 1
+              )
+            ),
+            m AS (
+              SELECT CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS max_frac
+              FROM (SELECT count(*) AS c FROM g GROUP BY reject_reason)
+            )
+            SELECT 'bucket_range' AS "check", bad_bucket = 0 AS ok,
+                   bad_bucket AS n,
+                   'ppl_bucket outside [0,{spec.PPL_BUCKET_MAX}]' AS detail FROM a
+            UNION ALL SELECT 'kept_have_text', kept_without_text = 0,
+                   kept_without_text, 'kept rows missing scrubbed_text' FROM a
+            UNION ALL SELECT 'no_empty_kept_text', kept_empty_text = 0,
+                   kept_empty_text, 'kept rows with whitespace-only text' FROM a
+            UNION ALL SELECT 'drops_have_reason', dropped_without_reason = 0,
+                   dropped_without_reason, 'dropped rows missing reject_reason' FROM a
+            UNION ALL SELECT 'no_duplicate_keys', dup_keys = 0, dup_keys,
+                   'duplicate (conv_id, turn_idx)' FROM d
+            UNION ALL SELECT 'distribution_sanity', max_frac <= 0.8,
+                   CAST(round(max_frac * 100) AS BIGINT),
+                   'largest reason bucket pct (warn > 80%: annotation drift analog)'
+                   FROM m
         """,
     }

@@ -292,10 +292,15 @@ def run_pipeline(
     committed data alone)."""
     conv = conversation_stats(transcripts)
     feats = heuristic_features(transcripts.select("conv_id", "turn_idx", "text"))
-    # conv is tiny relative to turns (1 row per conversation); at test scale
-    # AQE broadcasts it. At 10^12-turn scale the input table would be
-    # bucket-partitioned by conv_id (storage-partitioned join, no shuffle).
-    heur = feats.join(conv, "conv_id").withColumn("heur_reason", heuristic_reason_col())
+    # conv is 1 row per conversation — orders of magnitude smaller than the
+    # turn table, so broadcast-join it back (without the hint the planner
+    # picked a sort-merge join that shuffled + sorted the FULL turn table
+    # including text). At 10^12-turn scale, where even the conv table is
+    # huge, the input would be bucket-partitioned by conv_id in Iceberg and
+    # this becomes a storage-partitioned join (still no full-data shuffle).
+    heur = feats.join(F.broadcast(conv), "conv_id").withColumn(
+        "heur_reason", heuristic_reason_col()
+    )
 
     # ONE linear dataflow: every row flows scan -> heuristics -> model UDF
     # (passthrough for heuristic rejects) -> dedup window -> projection.
