@@ -73,6 +73,7 @@ def _pipeline_bench(spark) -> dict:
 
 def scaling_child(cpus: int) -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
+    os.environ.setdefault("BENCH_REPS", "3")
     from fineweb_legal_spark.session import get_spark
 
     spark = get_spark(master=f"local[{cpus}]", app_name=f"bench_scaling_{cpus}")
@@ -97,7 +98,7 @@ def _run_scaling() -> dict:
             cmd,
             capture_output=True,
             text=True,
-            timeout=1800,
+            timeout=2700,
             cwd=str(REPO),
         )
         for line in proc.stdout.splitlines():

@@ -38,26 +38,85 @@ def trigram_hashes(text: str) -> np.ndarray:
     return (cp[:-2] * 961 + cp[1:-1] * 31 + cp[2:]) & _HASH_MASK
 
 
+def _batch_trigrams(
+    texts: list[str], prefix: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All trigram hashes of a batch in one vectorized pass.
+
+    Returns (hashes, segment_starts, per_row_counts): rows are concatenated
+    into one codepoint buffer; trigrams that would straddle a row boundary
+    are dropped by index arithmetic. ``segment_starts`` indexes `hashes`
+    once per row with count>0 (for np.add.reduceat).
+    """
+    encoded = [t[:prefix].lower().encode("utf-32-le") for t in texts]
+    lens = np.fromiter((len(e) >> 2 for e in encoded), dtype=np.int64, count=len(texts))
+    counts = np.maximum(lens - 2, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), counts
+    cp = np.frombuffer(b"".join(encoded), dtype=np.uint32).astype(np.int64)
+    tri_all = (cp[:-2] * 961 + cp[1:-1] * 31 + cp[2:]) & _HASH_MASK
+    # a trigram starting at global position p is valid iff it does not
+    # straddle a row boundary: exactly the last two positions before each
+    # row end are invalid (positions falling in earlier rows are already
+    # invalid for the same reason, so the clip is safe)
+    ends = np.cumsum(lens)
+    invalid = np.concatenate((ends - 1, ends - 2))
+    invalid = invalid[(invalid >= 0) & (invalid < tri_all.size)]
+    valid = np.ones(tri_all.size, dtype=bool)
+    valid[invalid] = False
+    h = tri_all[valid]
+    keep_rows = counts > 0
+    starts = np.concatenate(([0], np.cumsum(counts[keep_rows])[:-1]))
+    return h, starts, counts
+
+
 @dataclass(frozen=True)
 class ModelArtifacts:
-    """What gets broadcast to executors: two dense log-prob tables."""
+    """What gets broadcast to executors: two dense log-prob tables.
 
-    langid_logprob: np.ndarray  # float32 [n_langs, 2^16]
-    ppl_logprob: np.ndarray  # float32 [2^16]
+    Stored float64 and slot-major (slots, langs) so batch scoring is a
+    single contiguous gather with no astype copy (~3.1 MB total)."""
+
+    langid_logprob_t: np.ndarray  # float64 [2^16, n_langs]
+    ppl_logprob: np.ndarray  # float64 [2^16]
     langs: tuple[str, ...]
 
     def predict_lang(self, text: str) -> str:
-        h = trigram_hashes(text[: spec.LANGID_PREFIX_CHARS].lower())
-        if h.size == 0:
-            return spec.LANGID_KEEP_LANG
-        scores = self.langid_logprob[:, h].sum(axis=1)
-        return self.langs[int(np.argmax(scores))]
+        return self.predict_lang_batch([text])[0]
 
     def perplexity(self, text: str) -> float:
-        h = trigram_hashes(text[: spec.PPL_PREFIX_CHARS].lower())
+        return float(self.perplexity_batch([text])[0])
+
+    def predict_lang_batch(self, texts: list[str]) -> list[str]:
+        """Vectorized language-ID over a whole Arrow batch: one hash pass
+        over the concatenated codepoints, per-language segment sums via
+        np.add.reduceat (sequential float64 accumulation — the oracle calls
+        THIS function too, so float ordering is shared by construction)."""
+        h, starts, counts = _batch_trigrams(texts, spec.LANGID_PREFIX_CHARS)
+        out = [spec.LANGID_KEEP_LANG] * len(texts)
         if h.size == 0:
-            return 1.0
-        return float(np.exp(-self.ppl_logprob[h].mean()))
+            return out
+        vals = self.langid_logprob_t[h]  # (trigrams, langs) contiguous f64
+        sums = np.add.reduceat(vals, starts, axis=0)  # (nonempty rows, langs)
+        best = np.argmax(sums, axis=1)
+        j = 0
+        for i, c in enumerate(counts):
+            if c > 0:
+                out[i] = self.langs[int(best[j])]
+                j += 1
+        return out
+
+    def perplexity_batch(self, texts: list[str]) -> np.ndarray:
+        h, starts, counts = _batch_trigrams(texts, spec.PPL_PREFIX_CHARS)
+        out = np.ones(len(texts), dtype=np.float64)
+        if h.size == 0:
+            return out
+        vals = self.ppl_logprob[h]
+        sums = np.add.reduceat(vals, starts)
+        nz = counts[counts > 0]
+        out[counts > 0] = np.exp(-(sums / nz))
+        return out
 
     @staticmethod
     def ppl_bucket(ppl: float) -> int:
@@ -82,8 +141,8 @@ def build_artifacts() -> ModelArtifacts:
     c_en = _counts_for(LANG_SENTENCES["en"])
     ppl = np.log((c_en + 0.5) / (c_en.sum() + 0.5 * _HASH_SLOTS))
     return ModelArtifacts(
-        langid_logprob=lid.astype(np.float32),
-        ppl_logprob=ppl.astype(np.float32),
+        langid_logprob_t=np.ascontiguousarray(lid.T),
+        ppl_logprob=ppl,
         langs=tuple(langs),
     )
 

@@ -57,29 +57,33 @@ def oracle_verdicts(transcripts: pd.DataFrame) -> pd.DataFrame:
     wc_all = texts.map(lambda t: 0 if t is None or t is pd.NA else textstats.word_count(t))
     conv_mean = wc_all.groupby(df["conv_id"]).transform("mean")
 
-    reasons: list[str | None] = []
-    langs: list[str | None] = []
-    buckets: list[int | None] = []
-    norm_keys: list[str | None] = []
-    for text, cm in zip(texts, conv_mean):
+    n = len(df)
+    reasons: list[str | None] = [None] * n
+    langs: list[str | None] = [None] * n
+    buckets: list[int | None] = [None] * n
+    norm_keys: list[str | None] = [None] * n
+    clean_texts: list[str | None] = []
+    for i, (text, cm) in enumerate(zip(texts, conv_mean)):
         t = None if text is None or text is pd.NA else str(text)
-        reason = _heuristic_reason(t, float(cm))
-        lang = bucket = norm = None
-        if reason is None:
-            # model stage (heuristic survivors only)
-            lang = arts.predict_lang(t)
-            ppl = arts.perplexity(t)
-            bucket = arts.ppl_bucket(ppl)
-            if lang != spec.LANGID_KEEP_LANG:
-                reason = "lang"
-            elif ppl > spec.PPL_MAX:
-                reason = "perplexity"
+        clean_texts.append(t)
+        reasons[i] = _heuristic_reason(t, float(cm))
+
+    # model stage (heuristic survivors only) — uses the SAME batch kernels
+    # as the Spark pandas UDF so float accumulation order is shared
+    surv_idx = [i for i, r in enumerate(reasons) if r is None]
+    surv_texts = [clean_texts[i] for i in surv_idx]
+    if surv_idx:
+        pl = arts.predict_lang_batch(surv_texts)
+        pp = arts.perplexity_batch(surv_texts)
+        for j, i in enumerate(surv_idx):
+            langs[i] = pl[j]
+            buckets[i] = arts.ppl_bucket(float(pp[j]))
+            if pl[j] != spec.LANGID_KEEP_LANG:
+                reasons[i] = "lang"
+            elif pp[j] > spec.PPL_MAX:
+                reasons[i] = "perplexity"
             else:
-                norm = textstats.norm_hash(t)
-        reasons.append(reason)
-        langs.append(lang)
-        buckets.append(bucket)
-        norm_keys.append(norm)
+                norm_keys[i] = textstats.norm_hash(surv_texts[j])
 
     out = pd.DataFrame(
         {

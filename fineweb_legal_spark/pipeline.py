@@ -233,31 +233,29 @@ def _model_stage_fn(bc_artifacts):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arts: ModelArtifacts = bc_artifacts.value
         for pdf in batches:
-            reasons, langs, buckets, norms, scrubbed = [], [], [], [], []
-            for t, heur in zip(pdf["text"], pdf["heur_reason"]):
-                if heur is not None:
-                    reasons.append(heur)
-                    langs.append(None)
-                    buckets.append(None)
-                    norms.append(None)
-                    scrubbed.append(None)
-                    continue
-                lang = arts.predict_lang(t)
-                ppl = arts.perplexity(t)
-                langs.append(lang)
-                buckets.append(arts.ppl_bucket(ppl))
-                if lang != spec.LANGID_KEEP_LANG:
-                    reasons.append("lang")
-                    norms.append(None)
-                    scrubbed.append(None)
-                elif ppl > spec.PPL_MAX:
-                    reasons.append("perplexity")
-                    norms.append(None)
-                    scrubbed.append(None)
-                else:
-                    reasons.append(None)
-                    norms.append(norm_hash(t))
-                    scrubbed.append(scrub_text(t))
+            n = len(pdf)
+            reasons = pdf["heur_reason"].tolist()
+            langs: list[str | None] = [None] * n
+            buckets: list[int | None] = [None] * n
+            norms: list[str | None] = [None] * n
+            scrubbed: list[str | None] = [None] * n
+            surv_idx = [i for i, r in enumerate(reasons) if r is None]
+            if surv_idx:
+                texts = pdf["text"].tolist()
+                surv_texts = [texts[i] for i in surv_idx]
+                # vectorized across the whole Arrow batch (one numpy pass)
+                pl = arts.predict_lang_batch(surv_texts)
+                pp = arts.perplexity_batch(surv_texts)
+                for j, i in enumerate(surv_idx):
+                    langs[i] = pl[j]
+                    buckets[i] = arts.ppl_bucket(float(pp[j]))
+                    if pl[j] != spec.LANGID_KEEP_LANG:
+                        reasons[i] = "lang"
+                    elif pp[j] > spec.PPL_MAX:
+                        reasons[i] = "perplexity"
+                    else:
+                        norms[i] = norm_hash(surv_texts[j])
+                        scrubbed[i] = scrub_text(surv_texts[j])
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"],

@@ -11,7 +11,7 @@ from fineweb_legal_spark.corpus import LANG_SENTENCES
 
 def test_build_is_deterministic():
     a, b = build_artifacts(), build_artifacts()
-    assert np.array_equal(a.langid_logprob, b.langid_logprob)
+    assert np.array_equal(a.langid_logprob_t, b.langid_logprob_t)
     assert np.array_equal(a.ppl_logprob, b.ppl_logprob)
 
 
