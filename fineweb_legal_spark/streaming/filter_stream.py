@@ -1,0 +1,134 @@
+"""Structured Streaming variant of the quality filter.
+
+The reference's "streaming" is a resumable single-consumer pull loop
+(SURVEY.md §2.9); the batch pipeline + lineage covers that exactly. This
+module additionally provides a true Structured Streaming path for
+continuously-arriving transcript files:
+
+- micro-batch trigger (`availableNow`) == the reference's count-based
+  flush loop (T2), with the checkpointed file-sink giving exactly-once
+  output (T3/T4);
+- dedup uses `withWatermark + dropDuplicates` — FIRST-ARRIVAL wins, the
+  reference's actual cross-run registry semantics (storage.py:110-129),
+  which differs from the batch engine's deterministic min-key winner (a
+  stream cannot know a smaller key will arrive later);
+- conversation-level mean-words is a windowed stateful aggregate with a
+  watermark for late turns, NOT a global per-conv join (unbounded state).
+  Per-turn heuristics therefore run without the conv_stats stage here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..artifacts import get_artifacts
+from ..pipeline import _MODEL_SCHEMA, _model_stage_fn, heuristic_features, heuristic_reason_col
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def _scored_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_dir)
+    )
+    feats = heuristic_features(stream.select("conv_id", "turn_idx", "ts", "text"))
+    # conv_stats is a global aggregate -> not applicable per-row in a
+    # stream; neutralize that branch of the cascade
+    heur = feats.withColumn("conv_mean_words", F.lit(1e9)).withColumn(
+        "heur_reason", heuristic_reason_col()
+    )
+    bc = spark.sparkContext.broadcast(get_artifacts())
+    scored_schema = T.StructType(
+        _MODEL_SCHEMA.fields + [T.StructField("ts", T.TimestampType())]
+    )
+
+    base = _model_stage_fn(bc)
+
+    def fn(batches):
+        # carry ts through the model stage for watermarking downstream
+        for pdf in batches:
+            ts = pdf["ts"]
+            for out in base(iter([pdf])):
+                out["ts"] = ts.reset_index(drop=True)
+                yield out
+
+    return heur.select("conv_id", "turn_idx", "ts", "text", "heur_reason").mapInPandas(
+        fn, schema=scored_schema
+    )
+
+
+def start_filter_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Filter + scrub + watermarked first-arrival dedup; kept turns land in
+    a checkpointed parquet sink (exactly-once)."""
+    scored = _scored_stream(spark, src_dir)
+    kept = (
+        scored.filter(F.col("reason0").isNull())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates(["norm_key"])
+        .select("conv_id", "turn_idx", "ts", "lang", "ppl_bucket", "scrubbed_text")
+    )
+    writer = (
+        kept.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_conv_metrics_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    available_now: bool = True,
+):
+    """Windowed per-conversation stage metrics with late-data watermark
+    (kept/dropped counts per event-time window — the _metrics table analog,
+    reference A1/T8)."""
+    scored = _scored_stream(spark, src_dir)
+    agg = (
+        scored.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", window), F.col("conv_id"))
+        .agg(
+            F.sum(F.col("reason0").isNull().cast("long")).alias("kept"),
+            F.sum(F.col("reason0").isNotNull().cast("long")).alias("dropped"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            "conv_id",
+            "kept",
+            "dropped",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

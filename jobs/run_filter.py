@@ -1,0 +1,51 @@
+"""spark-submit entry point for the transcript quality-filter job.
+
+    spark-submit --py-files fineweb_legal_spark.zip jobs/run_filter.py \
+        --input /path/to/transcripts --output /path/to/out \
+        --groups 64 [--streaming]
+
+Batch mode runs the lineage-committed pipeline (resumable: rerun after a
+kill and only uncommitted bucket groups are recomputed). Streaming mode
+tails the input directory with an availableNow trigger.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--groups", type=int, default=1)
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from fineweb_legal_spark.session import get_spark
+
+    spark = get_spark(master=args.master, app_name="fineweb_legal_filter")
+
+    if args.streaming:
+        from fineweb_legal_spark.streaming.filter_stream import start_filter_stream
+
+        q = start_filter_stream(
+            spark,
+            args.input,
+            f"{args.output}/data",
+            f"{args.output}/_checkpoint",
+        )
+        q.awaitTermination()
+    else:
+        from fineweb_legal_spark.lineage import run_with_lineage
+
+        src = spark.read.parquet(args.input)
+        result = run_with_lineage(spark, src, args.output, n_groups=args.groups)
+        print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""Structured Streaming path: availableNow micro-batches, checkpointed
+exactly-once sink, watermarked dedup, windowed conv metrics, and
+resume-without-reprocessing on restart."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow.parquet as pq
+
+from fineweb_legal_spark.datasets import DATA_DIR, ensure_transcripts
+from fineweb_legal_spark.streaming.filter_stream import (
+    start_conv_metrics_stream,
+    start_filter_stream,
+)
+
+BASE = DATA_DIR / "tmp" / "stream_test"
+
+
+def _setup_source() -> str:
+    shutil.rmtree(BASE, ignore_errors=True)
+    src = BASE / "src"
+    src.mkdir(parents=True)
+    t = pq.read_table(ensure_transcripts("t1"))
+    half = len(t) // 2
+    pq.write_table(t.slice(0, half), src / "part-0.parquet")
+    pq.write_table(t.slice(half), src / "part-1.parquet")
+    return str(src)
+
+
+def test_stream_filter_exactly_once(spark):
+    src = _setup_source()
+    out, cp = str(BASE / "out"), str(BASE / "cp")
+    q = start_filter_stream(spark, src, out, cp)
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    got = spark.read.parquet(out).toPandas()
+    assert not got.duplicated(subset=["conv_id", "turn_idx"]).any()
+    assert got["scrubbed_text"].notna().all()
+
+    # restart with the same checkpoint: no new input -> no new rows
+    q2 = start_filter_stream(spark, src, out, cp)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == n1
+
+    # new file arrives -> only the increment is processed
+    t = pq.read_table(ensure_transcripts("t1"))
+    pq.write_table(t.slice(0, 50), BASE / "src" / "part-2.parquet")
+    q3 = start_filter_stream(spark, src, out, cp)
+    q3.awaitTermination(300)
+    n3 = spark.read.parquet(out).count()
+    assert n3 >= n1  # appended increment only (dups of earlier keys dropped)
+
+
+def test_stream_conv_metrics(spark):
+    src = _setup_source()
+    out, cp = str(BASE / "mout"), str(BASE / "mcp")
+    q = start_conv_metrics_stream(spark, src, out, cp)
+    q.awaitTermination(300)
+    m = spark.read.parquet(out).toPandas()
+    assert len(m) > 0
+    assert (m.kept + m.dropped > 0).all()
+    shutil.rmtree(BASE, ignore_errors=True)
