@@ -254,13 +254,20 @@ def q_value_percentiles_events(spark, sf_dir):
 
 
 def q_class_weights_events(spark, sf_dir):
-    # A9: inverse-frequency class weights
+    # A9: inverse-frequency class weights — fully lazy: total and class
+    # count come from unpartitioned window aggregates over the (tiny)
+    # grouped frame, not from driver-side .count() actions during query
+    # construction (which cost two extra full scans).
     e = _t(spark, sf_dir, "events")
     counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    total = e.count()
-    k = counts.count()
+    w = Window.partitionBy()
     return counts.select(
-        "event_type", F.round(F.lit(total) / (F.lit(k) * F.col("n")), 6).alias("weight")
+        "event_type",
+        F.round(
+            F.sum("n").over(w).cast("double")
+            / (F.count(F.lit(1)).over(w) * F.col("n")),
+            6,
+        ).alias("weight"),
     ).orderBy("event_type")
 
 
@@ -365,24 +372,134 @@ def q_tier_splits_events(spark, sf_dir):
 
 
 def q_embedding_topk_cosine(spark, sf_dir):
-    # brute-force cosine top-10 vs query vec_id=0 (ANN baseline)
+    # brute-force cosine top-10 vs query vec_id=0 (ANN baseline).
+    # Kernel is one numpy matmul per Arrow batch (similarity.cosine_sim);
+    # the round-1 lambda-HOF version was CodegenFallback (interpreted per
+    # element, ~1000x slower at scale).
+    from fineweb_legal_spark.operators.similarity import cosine_sim
+
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter("vec_id = 0").select(F.col("embedding").alias("q_emb"))
-    dot = F.aggregate(
-        F.zip_with("embedding", "q_emb", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm_a = F.sqrt(
-        F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    norm_b = F.sqrt(F.aggregate("q_emb", F.lit(0.0), lambda acc, x: acc + x * x))
     return (
         emb.filter("vec_id <> 0")
         .crossJoin(F.broadcast(q))
-        .select("vec_id", F.round(dot / (norm_a * norm_b), 4).alias("cos_sim"))
+        .select("vec_id", F.round(cosine_sim("embedding", "q_emb"), 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+def q_domain_topk_web(spark, sf_dir):
+    # F14/C10: URL host extraction + top-20 domain counts (reference
+    # analyze_dataset_deep.py:52-59). parse_url runs JVM-side.
+    w = _webdocs(spark)
+    return (
+        w.select(F.parse_url("url", F.lit("HOST")).alias("domain"))
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .orderBy(F.desc("docs"), F.asc_nulls_first("domain"))
+        .limit(20)
+    )
+
+
+def q_approx_percentiles_events(spark, sf_dir):
+    # A6 scale variant (SURVEY §2.4 'at 10^12 scale'): percentile_approx
+    # (Greenwald-Khanna sketch, single pass, mergeable across partitions).
+    # At gate scale its high-accuracy output is exactly the discrete order
+    # statistic, which DuckDB's quantile_disc reproduces independently.
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        *[
+            F.round(F.percentile_approx("value", p, 1_000_000), 4).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in (0.5, 0.75, 0.9, 0.95, 0.99)
+        ]
+    )
+
+
+def q_approx_distinct_users_events(spark, sf_dir):
+    # A8 scale variant: approx_count_distinct (HyperLogLog++, mergeable).
+    # The HLL estimate is engine-specific, so the checkable contract is
+    # 'estimate within the documented rsd band of the exact count'; the
+    # exact count is cross-checked value-for-value.
+    e = _t(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id", 0.02).cast("double")
+                    - F.countDistinct("user_id")
+                )
+                / F.countDistinct("user_id")
+            )
+            <= 0.06  # 3x rsd (documented bound: relative sd 0.02)
+        ).alias("estimate_within_band"),
+    )
+
+
+# D4: softmax-weighted continuous score + argmax label (reference
+# classifier/inference.py:14-45 re-expressed natively: six pseudo-logits
+# from the value column, softmax, expected-class score, threshold label).
+_N_CLASSES = 6
+
+
+def _softmax_score_cols():
+    x = F.col("value") / 40.0
+    exps = [F.exp(-F.abs(x - F.lit(float(i)))) for i in range(_N_CLASSES)]
+    denom = exps[0]
+    for t in exps[1:]:
+        denom = denom + t
+    score = exps[0] * 0.0
+    for i, t in enumerate(exps):
+        score = score + t * float(i)
+    score = score / denom
+    # argmax of -|x - i| = nearest class; floor(x+0.5) is engine-stable
+    label = F.least(
+        F.lit(_N_CLASSES - 1),
+        F.greatest(F.lit(0), F.floor(x + 0.5).cast("int")),
+    )
+    return F.round(score, 4).alias("score"), label.alias("label")
+
+
+def _softmax_sql_num() -> str:
+    return " + ".join(f"exp(-abs(x - {i})) * {i}" for i in range(_N_CLASSES))
+
+
+def _softmax_sql_den() -> str:
+    return " + ".join(f"exp(-abs(x - {i}))" for i in range(_N_CLASSES))
+
+
+def q_softmax_score_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    score, label = _softmax_score_cols()
+    return e.select("event_id", score, label).withColumn(
+        "is_legal", F.col("score") >= 3.0
+    )
+
+
+def q_tier_stats_events(spark, sf_dir):
+    # A10: per-tier count/min/mean score (reference
+    # create_dataset_splits.py:67-73) over the D4 continuous score.
+    e = _t(spark, sf_dir, "events")
+    score, _ = _softmax_score_cols()
+    s = e.select(score)
+    tier = (
+        F.when(F.col("score") >= 4.8, F.lit("supreme"))
+        .when(F.col("score") >= 4.0, F.lit("high_quality"))
+        .when(F.col("score") >= 3.0, F.lit("default"))
+        .otherwise(F.lit("below_threshold"))
+    )
+    return (
+        s.select(tier.alias("tier"), "score")
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.round(F.min("score"), 4).alias("min_score"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("tier")
     )
 
 
@@ -563,6 +680,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sum_avg_lineitem": q_sum_avg_lineitem,
         "tier_splits_events": q_tier_splits_events,
         "embedding_topk_cosine": q_embedding_topk_cosine,
+        "domain_topk_web": q_domain_topk_web,
+        "approx_percentiles_events": q_approx_percentiles_events,
+        "approx_distinct_users_events": q_approx_distinct_users_events,
+        "softmax_score_events": q_softmax_score_events,
+        "tier_stats_events": q_tier_stats_events,
         "minhash_neardup_t1": q_minhash_neardup_t1,
         "simhash_neardup_t1": q_simhash_neardup_t1,
         "jaccard_exact_docs": q_jaccard_exact_docs,
@@ -726,6 +848,54 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings v, q
             WHERE v.vec_id <> 0
             ORDER BY cos_sim DESC, v.vec_id ASC LIMIT 10
+        """,
+        "domain_topk_web": f"""
+            SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS domain,
+                   count(*) AS docs
+            FROM read_parquet('{_webdocs_sql_path()}')
+            GROUP BY 1
+            ORDER BY docs DESC, domain ASC NULLS FIRST LIMIT 20
+        """,
+        "approx_percentiles_events": """
+            SELECT round(quantile_disc(value, 0.50), 4) AS p50,
+                   round(quantile_disc(value, 0.75), 4) AS p75,
+                   round(quantile_disc(value, 0.90), 4) AS p90,
+                   round(quantile_disc(value, 0.95), 4) AS p95,
+                   round(quantile_disc(value, 0.99), 4) AS p99
+            FROM events
+        """,
+        "approx_distinct_users_events": """
+            SELECT count(DISTINCT user_id) AS n_exact,
+                   TRUE AS estimate_within_band
+            FROM events
+        """,
+        "softmax_score_events": f"""
+            WITH b AS (SELECT event_id, value / 40.0 AS x FROM events),
+            s AS (
+              SELECT event_id, x,
+                     ({_softmax_sql_num()}) / ({_softmax_sql_den()}) AS raw
+              FROM b
+            )
+            SELECT event_id, round(raw, 4) AS score,
+                   least(5, greatest(0, CAST(floor(x + 0.5) AS INTEGER))) AS label,
+                   round(raw, 4) >= 3.0 AS is_legal
+            FROM s
+        """,
+        "tier_stats_events": f"""
+            WITH b AS (SELECT value / 40.0 AS x FROM events),
+            s AS (
+              SELECT round(({_softmax_sql_num()}) / ({_softmax_sql_den()}), 4)
+                         AS score
+              FROM b
+            )
+            SELECT CASE WHEN score >= 4.8 THEN 'supreme'
+                        WHEN score >= 4.0 THEN 'high_quality'
+                        WHEN score >= 3.0 THEN 'default'
+                        ELSE 'below_threshold' END AS tier,
+                   count(*) AS docs,
+                   round(min(score), 4) AS min_score,
+                   round(avg(score), 4) AS avg_score
+            FROM s GROUP BY 1 ORDER BY 1
         """,
         # --- training-data ops (goldens built by independent single-node
         # twins; see tools/build_golden_neardup.py / build_golden_misc.py;

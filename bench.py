@@ -5,22 +5,39 @@
  "pipeline": {rows, cold_sec, steady_sec, turns_per_sec},
  "scaling": {"local[8]": {...}, "local[32]": {...}, "efficiency": e}}
 
-- headline queries run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
-  on local[$SPARK_GRAFT_CPUS]
-- the transcript pipeline runs over the 2M-turn bench tier
-- scaling evidence (BASELINE.json north_rule: N vs 4N executors) is the
-  same pipeline job on identical input at local[8] vs local[32] in child
-  processes; efficiency = (thr_32 / thr_8) / (32 / 8)
+Ordering is survival-first (round-1 lesson: the driver's timeout killed the
+run before any JSON appeared):
+
+1. headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+2. the 2M-turn transcript-pipeline throughput (cold + steady min-of-N)
+3. print the JSON line  <-- always happens, see below
+4. scaling study ONLY if BENCH_RUN_SCALING=1 (it spawns two child Spark
+   processes and costs ~15-30 min; results are cached to
+   data/scaling_cache.json and folded into step 3's JSON on later runs,
+   marked "cached": true)
+
+Safety nets:
+- SIGTERM/SIGINT (what `timeout` sends) triggers an immediate print of the
+  JSON assembled so far (partial: true) before exit, so a timeout can no
+  longer produce an empty BENCH record.
+- BENCH_TIME_BUDGET seconds (default 1500) is self-enforced via SIGALRM:
+  remaining phases are skipped once the budget is hit.
 
 Steady-state timing re-executes the SAME DataFrame: the first execution of
 each fresh plan pays one-time Janino codegen (10-60 s in this sandbox),
 which a long-running cluster job pays once per stage, not per partition.
+
+Scaling evidence (BASELINE.json north_rule, N vs 4N executors) is the same
+pipeline job on identical input at local[8] vs local[32], each child
+taskset-pinned to exactly N cores; efficiency = (thr_32 / thr_8) / (32 / 8).
+Full methodology + numbers: BENCH.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -28,6 +45,8 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
+
+SCALING_CACHE = REPO / "data" / "scaling_cache.json"
 
 HEADLINE = (
     "pipeline_verdicts",
@@ -39,12 +58,53 @@ HEADLINE = (
     "top_sources_docs",
 )
 
+# mutable result assembled as phases complete; the signal handler prints
+# whatever is here if the process is killed mid-run
+RESULT: dict = {
+    "metric": "headline-suite wall-clock (sf tables + 2M-turn "
+    "quality-filter pipeline; steady-state)",
+    "value": 0.0,
+    "unit": "sec",
+    "queries": {},
+    "sf": 0.0,
+    "pipeline": {},
+    "scaling": {},
+}
+_PRINTED = False
+
+
+def _emit(partial: bool = False) -> None:
+    global _PRINTED
+    if _PRINTED:
+        return
+    _PRINTED = True
+    if partial:
+        RESULT["partial"] = True
+    print(json.dumps(RESULT), flush=True)
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    _emit(partial=True)
+    os._exit(0)
+
+
+class _Budget:
+    def __init__(self, seconds: float) -> None:
+        self.t0 = time.time()
+        self.seconds = seconds
+
+    def exceeded(self) -> bool:
+        return time.time() - self.t0 > self.seconds
+
+    def remaining(self) -> float:
+        return self.seconds - (time.time() - self.t0)
+
 
 def _count(df) -> int:
     return df.count()
 
 
-def _pipeline_bench(spark) -> dict:
+def _pipeline_bench(spark, budget: _Budget | None = None) -> dict:
     from fineweb_legal_spark.datasets import ensure_transcripts
     from fineweb_legal_spark.pipeline import run_pipeline
 
@@ -53,15 +113,17 @@ def _pipeline_bench(spark) -> dict:
     t0 = time.time()
     rows = _count(verdicts)
     cold = time.time() - t0
-    # best-of-3 steady-state: this sandbox is a Firecracker microVM with
+    # min-of-N steady-state: this sandbox is a Firecracker/KVM microVM with
     # invisible noisy-neighbor host contention (observed 4x run-to-run
     # swings); min-of-N is the standard de-noising for such hosts
     steadies = []
     for _ in range(int(os.environ.get("BENCH_REPS", "3"))):
+        if budget is not None and budget.exceeded() and steadies:
+            break
         t0 = time.time()
         _count(verdicts)
         steadies.append(time.time() - t0)
-    steady = min(steadies)
+    steady = min(steadies) if steadies else cold
     return {
         "rows": rows,
         "cold_sec": round(cold, 2),
@@ -78,7 +140,7 @@ def scaling_child(cpus: int) -> None:
 
     spark = get_spark(master=f"local[{cpus}]", app_name=f"bench_scaling_{cpus}")
     out = _pipeline_bench(spark)
-    print("SCALING_RESULT " + json.dumps(out))
+    print("SCALING_RESULT " + json.dumps(out), flush=True)
     spark.stop()
 
 
@@ -86,7 +148,7 @@ def _run_scaling() -> dict:
     """N vs 4N scaling stand-in (BASELINE.md): each child is PINNED to
     exactly N physical cores with taskset, otherwise the local[8] run's
     Python UDF workers would still spread over all 32 cores and inflate the
-    small-cluster baseline."""
+    small-cluster baseline. Results are cached for later bench runs."""
     results = {}
     for cpus in (8, 32):
         cmd = [sys.executable, __file__, "--scaling-child", str(cpus)]
@@ -113,7 +175,24 @@ def _run_scaling() -> dict:
         results["efficiency"] = round((t32 / t8) / (32 / 8), 3)
     except (KeyError, ZeroDivisionError, TypeError):
         results["efficiency"] = None
+    results["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    try:
+        SCALING_CACHE.parent.mkdir(parents=True, exist_ok=True)
+        SCALING_CACHE.write_text(json.dumps(results, indent=1))
+    except OSError:
+        pass
     return results
+
+
+def _cached_scaling() -> dict:
+    if SCALING_CACHE.exists():
+        try:
+            out = json.loads(SCALING_CACHE.read_text())
+            out["cached"] = True
+            return out
+        except (OSError, json.JSONDecodeError):
+            pass
+    return {}
 
 
 def main() -> None:
@@ -124,13 +203,20 @@ def main() -> None:
         from fineweb_legal_spark.datasets import ensure_transcripts
 
         ensure_transcripts("bench")
-        print(json.dumps({"scaling": _run_scaling()}))
+        print(json.dumps({"scaling": _run_scaling()}), flush=True)
         return
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+    budget = _Budget(float(os.environ.get("BENCH_TIME_BUDGET", "1500")))
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
-    skip_scaling = os.environ.get("BENCH_SKIP_SCALING") == "1"
+    RESULT["sf"] = (
+        float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+    )
+    run_scaling = os.environ.get("BENCH_RUN_SCALING") == "1"
+    RESULT["scaling"] = _cached_scaling()
 
     # generate bench data up front (one-time, cached on disk)
     from fineweb_legal_spark.datasets import ensure_transcripts
@@ -144,35 +230,32 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
+        if budget.exceeded():
+            RESULT["queries"][name] = None
+            continue
         t0 = time.time()
         _count(qs[name](spark, sf_dir))
         el = time.time() - t0
-        timings[name] = round(el, 2)
+        RESULT["queries"][name] = round(el, 2)
         total += el
+        RESULT["value"] = round(total, 2)
 
-    pipeline = _pipeline_bench(spark)
-    total += pipeline["steady_sec"]
+    if not budget.exceeded():
+        pipeline = _pipeline_bench(spark, budget)
+        RESULT["pipeline"] = pipeline
+        total += pipeline["steady_sec"]
+        RESULT["value"] = round(total, 2)
+
+    if run_scaling and budget.remaining() > 600:
+        spark.stop()
+        RESULT["scaling"] = _run_scaling()
+        _emit()
+        return
+
+    _emit()
     spark.stop()
-
-    scaling = {} if skip_scaling else _run_scaling()
-
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall-clock (sf tables + 2M-turn "
-                "quality-filter pipeline; steady-state)",
-                "value": round(total, 2),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "pipeline": pipeline,
-                "scaling": scaling,
-            }
-        )
-    )
 
 
 if __name__ == "__main__":

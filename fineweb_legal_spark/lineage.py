@@ -27,11 +27,13 @@ Layout under ``out_dir``:
 from __future__ import annotations
 
 import os
+from datetime import datetime, timezone
 from pathlib import Path
 
 import pyarrow as pa
 import pyarrow.parquet as pq
-from pyspark.sql import DataFrame, SparkSession
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import spec
@@ -61,13 +63,23 @@ def read_lineage(spark: SparkSession, out_dir: str | Path) -> DataFrame:
 
 def read_committed_output(spark: SparkSession, out_dir: str | Path) -> DataFrame:
     """Reader side of the protocol: only lineage-committed buckets are
-    visible (the T4 'no partial visibility' guarantee)."""
+    visible (the T4 'no partial visibility' guarantee).
+
+    A committed bucket may have NO data directory: dynamic partition
+    overwrite writes nothing for an all-rejected bucket, yet the lineage
+    record still marks it committed. Filter the path list to directories
+    that exist so the scan never hits PATH_NOT_FOUND; all-empty -> None.
+    """
     done = committed_buckets(out_dir)
     data = Path(out_dir) / "data"
-    df = spark.read.option("basePath", str(data)).parquet(
-        *[str(data / f"bucket={b}") for b in sorted(done)]
-    ) if done else None
-    return df
+    paths = [
+        str(data / f"bucket={b}")
+        for b in sorted(done)
+        if (data / f"bucket={b}").is_dir()
+    ]
+    return (
+        spark.read.option("basePath", str(data)).parquet(*paths) if paths else None
+    )
 
 
 def run_with_lineage(
@@ -127,15 +139,39 @@ def run_with_lineage(
             ),
             ["conv_id", "turn_idx"],
         ).withColumn(BUCKET_COL, bucket_of(F.col("conv_id")))
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
+    # DISK_ONLY: kept_all carries the full text payload; at cluster scale a
+    # MEMORY_AND_DISK cache of the whole corpus evicts everything else.
 
     processed = 0
     for group in groups:
         gid = "-".join(str(b) for b in group)
         kept = kept_all.filter(F.col(BUCKET_COL).isin(group))
+        # Single-pass metrics (reference T8/A2 via df.observe, SURVEY §2.9):
+        # the CollectMetrics node sits UNDER the keep-filter, so the write
+        # action itself produces the per-bucket kept/dropped/scrubbed
+        # counters — no second aggregation pass over the group.
+        obs = Observation(f"lineage-{gid}")
+        metric_exprs = []
+        for b in group:
+            is_b = F.col(BUCKET_COL) == b
+            metric_exprs += [
+                F.sum((is_b & F.col("keep")).cast("long")).alias(f"kept_{b}"),
+                F.sum((is_b & ~F.col("keep")).cast("long")).alias(f"dropped_{b}"),
+                F.sum(
+                    (
+                        is_b
+                        & F.col("keep")
+                        & (F.col("scrubbed_text") != F.col("text"))
+                    ).cast("long")
+                ).alias(f"scrubbed_{b}"),
+            ]
+        # committed_at via the engine clock (reference storage.py:278 analog)
+        metric_exprs.append(F.max(F.current_timestamp()).alias("committed_at"))
         # stage the data: dynamic overwrite replaces only the touched buckets
         (
-            kept.filter("keep")
+            kept.observe(obs, *metric_exprs)
+            .filter("keep")
             .drop("keep")
             .repartition(BUCKET_COL)
             .sortWithinPartitions("conv_id", "turn_idx")
@@ -144,26 +180,13 @@ def run_with_lineage(
             .option("compression", "snappy")
             .parquet(str(out / "data"))
         )
-        # per-bucket metrics for the lineage record (one small agg job);
-        # scrubbed = kept turns whose text was actually modified
-        stats = (
-            kept.groupBy(BUCKET_COL)
-            .agg(
-                F.sum(F.col("keep").cast("long")).alias("kept"),
-                F.sum((~F.col("keep")).cast("long")).alias("dropped"),
-                F.sum(
-                    (F.col("keep") & (F.col("scrubbed_text") != F.col("text"))).cast(
-                        "long"
-                    )
-                ).alias("scrubbed"),
-            )
-            .collect()
-        )
-        by_bucket = {int(r[BUCKET_COL]): r for r in stats}
+        got = obs.get
 
         def _stat(b: int, k: str) -> int:
-            return int(by_bucket[b][k]) if b in by_bucket else 0
+            v = got.get(f"{k}_{b}")
+            return int(v) if v is not None else 0
 
+        committed_at = got.get("committed_at") or datetime.now(timezone.utc)
         table = pa.table(
             {
                 "bucket": pa.array(group, pa.int32()),
@@ -171,6 +194,9 @@ def run_with_lineage(
                 "kept": pa.array([_stat(b, "kept") for b in group], pa.int64()),
                 "dropped": pa.array([_stat(b, "dropped") for b in group], pa.int64()),
                 "scrubbed": pa.array([_stat(b, "scrubbed") for b in group], pa.int64()),
+                "committed_at": pa.array(
+                    [committed_at] * len(group), pa.timestamp("us", tz="UTC")
+                ),
             }
         )
         # atomic publish: the lineage record IS the commit point

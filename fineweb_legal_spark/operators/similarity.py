@@ -26,6 +26,25 @@ def planes_for(dim: int) -> np.ndarray:
     return np.random.RandomState(_PLANE_SEED).randn(N_PLANES, dim)
 
 
+@F.pandas_udf(T.DoubleType())
+def cosine_sim(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized cosine similarity between two array columns.
+
+    One float64 matmul per Arrow batch. Replaces the round-1 lambda
+    higher-order-function kernel (F.aggregate / F.zip_with): those are
+    CodegenFallback in Spark — interpreted per element, measured ~1000x
+    slower than codegen'd built-ins, a scale-killer on a real embeddings
+    table. numpy also matches the golden twin (tools/build_golden_misc.py
+    uses np matmul) to the last ULP.
+    """
+    A = np.stack(a.to_numpy()).astype(np.float64)
+    B = np.stack(b.to_numpy()).astype(np.float64)
+    dots = np.einsum("ij,ij->i", A, B)
+    na = np.linalg.norm(A, axis=1)
+    nb = np.linalg.norm(B, axis=1)
+    return pd.Series(dots / (na * nb))
+
+
 _BUCKET_SCHEMA = T.StructType(
     [
         T.StructField("vec_id", T.LongType()),
@@ -68,15 +87,10 @@ def lsh_ann_topk(df: DataFrame, query_ids: list[int], k: int, dim: int) -> DataF
         )
     )
     cand = vecs.join(q, "bucket").filter(F.col("vec_id") != F.col("query_id"))
-    dot = F.aggregate(
-        F.zip_with("embedding", "q_emb", lambda a, x: a * x),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate("q_emb", F.lit(0.0), lambda acc, x: acc + x * x))
     scored = cand.select(
-        "query_id", "vec_id", F.round(dot / (na * nb), 4).alias("cos_sim")
+        "query_id",
+        "vec_id",
+        F.round(cosine_sim("embedding", "q_emb"), 4).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

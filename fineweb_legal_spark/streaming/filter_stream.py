@@ -83,7 +83,12 @@ def start_filter_stream(
     kept = (
         scored.filter(F.col("reason0").isNull())
         .withWatermark("ts", "1 hour")
-        .dropDuplicates(["norm_key"])
+        # dropDuplicatesWithinWatermark: keys whose event time passes the
+        # watermark are EVICTED from the dedup state store. Plain
+        # dropDuplicates(["norm_key"]) never evicts (the event-time column
+        # is not part of the key set), so a long-running stream grows state
+        # without bound.
+        .dropDuplicatesWithinWatermark(["norm_key"])
         .select("conv_id", "turn_idx", "ts", "lang", "ppl_bucket", "scrubbed_text")
     )
     writer = (

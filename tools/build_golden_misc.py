@@ -1,12 +1,18 @@
-"""Goldens for the non-SQL-expressible operators, built by independent
-single-node numpy/pandas twins (no Spark):
+"""Goldens for the non-SQL-expressible operators, built by single-node
+numpy/pandas twins (no Spark executors):
 
 - langid over sf0.01 documents          -> golden/sf0.01/langid_docs.parquet
 - LSH-ANN top-k over sf0.01 embeddings  -> golden/sf0.01/lsh_ann.parquet
 - media frame sampling + fake embedding -> golden/media_t1/*.parquet
 
-These goldens are pinned to the sf0.01 driver tables / t1 media tier (the
-driver's correctness gate runs at sf=0.01).
+Scope of these checks, stated honestly: the twins share the model-artifact
+library code with the Spark operators (get_artifacts().predict_lang,
+planes_for, the frame/histogram logic), so the corresponding driver
+'oracle' rows verify DISTRIBUTED-EXECUTION DETERMINISM AND PLUMBING —
+Arrow round-trips, partitioning, join topology, bucket assignment — not
+model correctness against an independent implementation. Independent
+model-semantics coverage lives in tests/test_artifacts.py (hand-derived
+spot fixtures).
 """
 
 from __future__ import annotations
