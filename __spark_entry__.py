@@ -27,6 +27,7 @@ from fineweb_legal_spark import spec
 from fineweb_legal_spark.datasets import (
     DATA_DIR,
     ensure_golden,
+    ensure_planes,
     ensure_transcripts,
     ensure_web_golden,
     ensure_webdocs,
@@ -568,6 +569,15 @@ def q_token_counts_docs(spark, sf_dir):
     )
 
 
+def q_embedding_neardup(spark, sf_dir):
+    # embedding-cosine near-dup pairs: LSH-bucketed candidate equi-join +
+    # exact numpy-cosine verify (the scale path: never all-pairs)
+    from fineweb_legal_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, dim=64, threshold=0.4)
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     from fineweb_legal_spark.operators.similarity import lsh_ann_topk
 
@@ -693,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": q_fingerprint_docs,
         "token_counts_docs": q_token_counts_docs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "embedding_neardup": q_embedding_neardup,
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frame_sample,
         "media_embeddings": q_media_embeddings,
@@ -959,6 +970,28 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": f"""
             SELECT query_id, vec_id, rank, cos_sim
             FROM read_parquet('{DATA_DIR}/golden/sf0.01/lsh_ann.parquet')
+        """,
+        # independent oracle: buckets recomputed in SQL from the exported
+        # hyperplane matrix (random-hyperplane signs -> bit-weighted sum),
+        # then in-bucket exact cosine — no shared code with the Spark path
+        "embedding_neardup": f"""
+            WITH p AS (
+              SELECT plane_idx, weights
+              FROM read_parquet('{ensure_planes(64)}')
+            ),
+            b AS (
+              SELECT e.vec_id, any_value(e.embedding) AS embedding,
+                     CAST(sum(CASE WHEN list_dot_product(e.embedding, p.weights) > 0
+                          THEN CAST(power(2, p.plane_idx) AS BIGINT)
+                          ELSE 0 END) AS INTEGER) AS bucket
+              FROM embeddings e, p GROUP BY e.vec_id
+            )
+            SELECT id_a, id_b, cos_sim FROM (
+              SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding, c.embedding), 4)
+                         AS cos_sim
+              FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            ) WHERE cos_sim >= 0.4
         """,
         "media_meta": f"""
             SELECT media_id, kind,

@@ -147,6 +147,26 @@ def ensure_media(tier: str) -> Path:
     return p
 
 
+def ensure_planes(dim: int) -> Path:
+    """Export the LSH hyperplane matrix as parquet so the DuckDB oracle can
+    recompute bucket assignments independently (data, not shared code)."""
+    p = DATA_DIR / "golden" / f"planes_dim{dim}.parquet"
+    if not p.exists():
+        import pandas as pd
+
+        from .operators.similarity import planes_for
+
+        mat = planes_for(dim)
+        df = pd.DataFrame(
+            {
+                "plane_idx": list(range(mat.shape[0])),
+                "weights": [row.tolist() for row in mat],
+            }
+        )
+        _write(df, p)
+    return p
+
+
 def ensure_web_golden(tier: str) -> Path:
     p = web_golden_path(tier)
     if not p.exists():

@@ -73,6 +73,42 @@ def lsh_buckets(df: DataFrame, dim: int) -> DataFrame:
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame, dim: int, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim) for
+    pairs landing in the same random-hyperplane LSH bucket with cosine
+    similarity >= threshold.
+
+    Scale path: candidate generation is a self equi-join on the bucket id —
+    never an all-pairs cross product — and verification is one numpy matmul
+    per Arrow batch (cosine_sim). Bucket-restricted semantics (recall < 1
+    across bucket boundaries) are part of the operator contract, exactly
+    like the reference's banded MinHash; the DuckDB oracle recomputes the
+    buckets independently from the exported plane matrix (data, not code).
+
+    Reference analog: the text-hash dedup registry (storage.py:81-150)
+    generalized to embedding space.
+    """
+    b = lsh_buckets(df, dim)
+    vecs = df.select("vec_id", "embedding").join(b, "vec_id")
+    left = vecs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        "bucket",
+    )
+    right = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        "bucket",
+    )
+    cand = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = cand.select(
+        "id_a", "id_b", F.round(cosine_sim("emb_a", "emb_b"), 4).alias("cos_sim")
+    )
+    return scored.filter(F.col("cos_sim") >= threshold)
+
+
 def lsh_ann_topk(df: DataFrame, query_ids: list[int], k: int, dim: int) -> DataFrame:
     """Top-k cosine neighbors per query vector, searched within the query's
     LSH bucket only (returns (query_id, vec_id, rank, cos_sim))."""

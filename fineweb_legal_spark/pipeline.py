@@ -305,7 +305,19 @@ def run_pipeline(
     # No filtered branches + union: each branch would re-execute the whole
     # upstream (measured 2x heuristics + 2x model on the old shape).
     bc = spark.sparkContext.broadcast(get_artifacts())
-    model_in = heur.select("conv_id", "turn_idx", "text", "heur_reason")
+    # Rejects pass through the UDF but their text is never read there
+    # (only heuristic survivors are scored/scrubbed), so null it out BEFORE
+    # the exchange to Python: heuristic-rejected rows then cost zero Arrow
+    # string bytes and zero PyObject materialization. On this sandbox the
+    # python-side allocation churn is the scaling bottleneck of the whole
+    # pipeline (standalone numpy kernels scale at the host ceiling; the
+    # same kernels behind per-batch pandas string materialization do not).
+    model_in = heur.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("heur_reason").isNull(), F.col("text")).alias("text"),
+        "heur_reason",
+    )
     scored = model_in.mapInPandas(_model_stage_fn(bc), schema=_MODEL_SCHEMA)
 
     if exclude_keys is not None:

@@ -19,6 +19,13 @@ def get_spark(
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # Python UDF workers inherit this env (driver -> JVM -> daemon -> fork).
+    # Keep glibc from returning freed arena memory to the kernel: page
+    # faults are pathologically slow in this microVM (~0.2-0.8 GB/s commit)
+    # and per-Arrow-batch mmap/munmap churn across 32 workers re-faults the
+    # same memory thousands of times.
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "-1")
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "268435456")
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
@@ -35,10 +42,26 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        # local mode: driver heap is the ONLY executor memory pool; 32
-        # concurrent sort/window tasks in a small heap spill to disk and
-        # destroy scaling (measured). 48g on the 128GiB sandbox box.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # local mode: driver heap is the ONLY executor memory pool. Heap
+        # sizing on this microVM is dominated by a pathology: the guest
+        # commits memory at only ~0.2-0.8 GB/s (EPT faults + TLB-shootdown
+        # IPI storms; THP makes it WORSE), so concurrent heap growth under
+        # 32 allocating tasks put the kernel at ~99% system time for
+        # minutes — the round-1 'local[32] slower than local[8]' scaling
+        # anomaly. Fix: a MODEST heap, pinned (-Xms=-Xmx) and pre-touched
+        # once at startup (~15 s one-time), exactly the discipline real
+        # cluster executors use (Xms=Xmx, live for hours). 16g is enough
+        # for 32 window/sort tasks on the 2M-turn bench (probe records
+        # spill_mb to verify).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "16g")
+                + " -XX:+AlwaysPreTouch",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

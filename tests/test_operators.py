@@ -102,3 +102,44 @@ def test_textql_token_counts(spark):
         assert r.bpe_ish_tokens == sum((len(w) + 3) // 4 for w in words)
     fp = fingerprint(docs).select("fingerprint").toPandas()
     assert fp.fingerprint.str.fullmatch("[0-9a-f]{16}").all()
+
+
+def test_embedding_neardup_matches_numpy_twin(spark):
+    """Bucket-restricted cosine near-dup pairs == a numpy recomputation of
+    the same contract (buckets from the plane matrix + exact cosine)."""
+    import numpy as np
+
+    from fineweb_legal_spark.operators.similarity import (
+        N_PLANES,
+        embedding_neardup_pairs,
+        planes_for,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = (
+        embedding_neardup_pairs(emb, dim=64, threshold=0.4)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    pdf = emb.toPandas()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    ids = pdf.vec_id.to_numpy()
+    bits = (np.stack(pdf.embedding.to_numpy()) @ planes_for(64).T) > 0
+    buckets = bits @ (1 << np.arange(N_PLANES))
+    norms = np.linalg.norm(mat, axis=1)
+    expect = []
+    for b in np.unique(buckets):
+        sel = np.where(buckets == b)[0]
+        sub = mat[sel]
+        cos = np.round((sub @ sub.T) / np.outer(norms[sel], norms[sel]), 4)
+        for i in range(len(sel)):
+            for j in range(len(sel)):
+                ia, ib = int(ids[sel[i]]), int(ids[sel[j]])
+                if ia < ib and cos[i, j] >= 0.4:
+                    expect.append((ia, ib, cos[i, j]))
+    expect.sort()
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        (a, b, float(c)) for a, b, c in expect
+    ]
