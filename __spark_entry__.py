@@ -45,7 +45,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _transcripts(spark: SparkSession) -> DataFrame:
-    return spark.read.parquet(str(ensure_transcripts("t2")))
+    # The synthetic t2 table is one 6 MB parquet file with a single row
+    # group -> a 1-task scan that would serialize the model stage onto one
+    # Python worker. One tiny reshuffle parallelizes everything downstream.
+    # (A real deployment's table is many files/row groups; this is a
+    # test-fixture artifact, not an engine setting.)
+    return spark.read.parquet(str(ensure_transcripts("t2"))).repartition(32)
 
 
 def _webdocs(spark: SparkSession) -> DataFrame:
