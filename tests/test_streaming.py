@@ -62,3 +62,35 @@ def test_stream_conv_metrics(spark):
     assert len(m) > 0
     assert (m.kept + m.dropped > 0).all()
     shutil.rmtree(BASE, ignore_errors=True)
+
+
+def test_stream_conv_state(spark):
+    """applyInPandasWithState running per-conversation aggregates: the last
+    Update-mode row per conversation equals the batch ground truth."""
+    src = _setup_source()
+    from fineweb_legal_spark.streaming.conv_state import start_conv_state_stream
+
+    q = start_conv_state_stream(spark, src, table_name="conv_state_test")
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM conv_state_test").toPandas()
+    # cumulative rows are monotone in `turns`; the max-turns row per conv
+    # is the final state
+    final = (
+        got.sort_values("turns").groupby("conv_id").tail(1).set_index("conv_id")
+    )
+
+    truth = (
+        pq.read_table(ensure_transcripts("t1"))
+        .to_pandas()
+        .assign(words=lambda d: d.text.fillna("").str.split().map(len))
+        .groupby("conv_id")
+        .agg(turns=("turn_idx", "size"), total_words=("words", "sum"),
+             max_turn_idx=("turn_idx", "max"))
+    )
+    assert len(final) == len(truth)
+    for cid, row in truth.iterrows():
+        f = final.loc[cid]
+        assert int(f.turns) == int(row.turns), cid
+        assert int(f.total_words) == int(row.total_words), cid
+        assert int(f.max_turn_idx) == int(row.max_turn_idx), cid
+    shutil.rmtree(BASE, ignore_errors=True)
