@@ -27,6 +27,7 @@ from fineweb_legal_spark import spec
 from fineweb_legal_spark.datasets import (
     DATA_DIR,
     ensure_golden,
+    ensure_ivf_centroids,
     ensure_planes,
     ensure_transcripts,
     ensure_web_golden,
@@ -574,6 +575,15 @@ def q_token_counts_docs(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    # IVF coarse-quantize + nprobe-cell exact re-rank (the second ANN
+    # scale path next to random-hyperplane LSH)
+    from fineweb_legal_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(emb, query_ids=list(range(10)), k=5, dim=64, nprobe=4)
+
+
 def q_embedding_neardup(spark, sf_dir):
     # embedding-cosine near-dup pairs: LSH-bucketed candidate equi-join +
     # exact numpy-cosine verify (the scale path: never all-pairs)
@@ -709,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts_docs": q_token_counts_docs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "embedding_neardup": q_embedding_neardup,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frame_sample,
         "media_embeddings": q_media_embeddings,
@@ -975,6 +986,49 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": f"""
             SELECT query_id, vec_id, rank, cos_sim
             FROM read_parquet('{DATA_DIR}/golden/sf0.01/lsh_ann.parquet')
+        """,
+        # independent oracle: cells + probing recomputed in SQL from the
+        # exported centroid matrix — no shared code with the Spark path
+        "ivf_ann_topk": f"""
+            WITH c AS (
+              SELECT cell_idx, weights
+              FROM read_parquet('{ensure_ivf_centroids(64)}')
+            ),
+            sims AS (
+              SELECT e.vec_id, c.cell_idx,
+                     list_cosine_similarity(e.embedding, c.weights) AS s
+              FROM embeddings e, c
+            ),
+            assign AS (
+              SELECT vec_id, CAST(arg_max(cell_idx, s) AS INTEGER) AS cell
+              FROM sims GROUP BY vec_id
+            ),
+            qprobe AS (
+              SELECT vec_id AS query_id, cell_idx AS cell FROM (
+                SELECT vec_id, cell_idx,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell_idx) AS rn
+                FROM sims WHERE vec_id < 10
+              ) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT q.query_id, a.vec_id
+              FROM qprobe q JOIN assign a ON a.cell = q.cell
+              WHERE a.vec_id <> q.query_id
+            ),
+            scored AS (
+              SELECT cd.query_id, cd.vec_id,
+                     round(list_cosine_similarity(v.embedding, qe.embedding), 4)
+                         AS cos_sim
+              FROM cand cd
+              JOIN embeddings v  ON v.vec_id  = cd.vec_id
+              JOIN embeddings qe ON qe.vec_id = cd.query_id
+            )
+            SELECT query_id, vec_id, rank, cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         # independent oracle: buckets recomputed in SQL from the exported
         # hyperplane matrix (random-hyperplane signs -> bit-weighted sum),

@@ -167,6 +167,26 @@ def ensure_planes(dim: int) -> Path:
     return p
 
 
+def ensure_ivf_centroids(dim: int) -> Path:
+    """Export the IVF coarse-quantizer centroids as parquet so the DuckDB
+    oracle can recompute cell assignment + probing independently."""
+    p = DATA_DIR / "golden" / f"ivf_centroids_dim{dim}.parquet"
+    if not p.exists():
+        import pandas as pd
+
+        from .operators.similarity import ivf_centroids
+
+        mat = ivf_centroids(dim)
+        df = pd.DataFrame(
+            {
+                "cell_idx": list(range(mat.shape[0])),
+                "weights": [row.tolist() for row in mat],
+            }
+        )
+        _write(df, p)
+    return p
+
+
 def ensure_web_golden(tier: str) -> Path:
     p = web_golden_path(tier)
     if not p.exists():

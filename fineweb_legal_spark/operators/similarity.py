@@ -73,6 +73,108 @@ def lsh_buckets(df: DataFrame, dim: int) -> DataFrame:
     )
 
 
+N_IVF_CELLS = 16
+_IVF_SEED = 7
+
+
+def ivf_centroids(dim: int) -> np.ndarray:
+    """Deterministic coarse quantizer: seeded gaussian directions,
+    L2-normalized (for cosine search, cells = nearest direction). A real
+    deployment would k-means a sample; a fixed seeded quantizer keeps the
+    operator reproducible with zero training passes."""
+    c = np.random.RandomState(_IVF_SEED).randn(N_IVF_CELLS, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+_CELL_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("cell", T.IntegerType()),
+    ]
+)
+
+
+def ivf_assign(df: DataFrame, dim: int) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, one matmul per batch."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = ivf_centroids(dim)
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cents.T  # (n, cells)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": np.argmax(sims, axis=1).astype(np.int32),
+                }
+            )
+
+    return df.select("vec_id", "embedding").mapInPandas(fn, schema=_CELL_SCHEMA)
+
+
+def ivf_ann_topk(
+    df: DataFrame, query_ids: list[int], k: int, dim: int, nprobe: int = 4
+) -> DataFrame:
+    """IVF top-k cosine neighbors: inverted-file coarse quantizer + exact
+    re-rank inside the nprobe nearest cells of each query.
+
+    Scale path: the vector table is partitioned by cell (an equi-join on
+    the cell id — at warehouse scale, a table bucketed by cell turns this
+    into a storage-partitioned join); queries fan out to nprobe cells, so
+    the scanned fraction is ~nprobe/N_IVF_CELLS of the corpus, never
+    all-pairs. Re-rank is one numpy matmul per Arrow batch (cosine_sim).
+    """
+    assigned = df.select("vec_id", "embedding").join(ivf_assign(df, dim), "vec_id")
+
+    # query -> its nprobe nearest cells (small: len(query_ids) x nprobe)
+    def qcells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cents = ivf_centroids(dim)
+        for pdf in batches:
+            mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cents.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].to_numpy().repeat(nprobe),
+                    "cell": order.reshape(-1).astype(np.int32),
+                }
+            )
+
+    q_probe = (
+        df.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .mapInPandas(qcells, schema=T.StructType(
+            [
+                T.StructField("query_id", T.LongType()),
+                T.StructField("cell", T.IntegerType()),
+            ]
+        ))
+    )
+    q_emb = df.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cand = (
+        assigned.join(F.broadcast(q_probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q_emb), "query_id")
+    )
+    # no dedup needed: each vector lives in exactly one cell, so a
+    # (query, vec) candidate pair appears at most once
+    scored = cand.select(
+        "query_id", "vec_id", F.round(cosine_sim("embedding", "q_emb"), 4).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "cos_sim")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, dim: int, threshold: float = 0.9
 ) -> DataFrame:
