@@ -92,20 +92,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_VERDICTS_CACHE: dict[str, DataFrame] = {}
+
+
+def _t2_verdicts(spark: SparkSession) -> DataFrame:
+    """The t2 pipeline verdicts, persisted once per session: five driver
+    queries consume this same frame, and without the cache each re-runs
+    the full pipeline (fresh codegen + model stage per query)."""
+    key = spark.sparkContext.applicationId
+    if key not in _VERDICTS_CACHE:
+        _VERDICTS_CACHE.clear()
+        _VERDICTS_CACHE[key] = run_pipeline(spark, _transcripts(spark)).persist()
+    return _VERDICTS_CACHE[key]
+
+
 def q_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_pipeline(spark, _transcripts(spark))
+    return _t2_verdicts(spark)
 
 
 def q_pipeline_stage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stage_metrics(run_pipeline(spark, _transcripts(spark)))
+    return stage_metrics(_t2_verdicts(spark))
 
 
 def q_pipeline_ppl_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ppl_histogram(run_pipeline(spark, _transcripts(spark)))
+    return ppl_histogram(_t2_verdicts(spark))
 
 
 def q_pipeline_kept_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = run_pipeline(spark, _transcripts(spark))
+    v = _t2_verdicts(spark)
     return v.filter("keep").select("conv_id", "turn_idx", "scrubbed_text")
 
 
@@ -660,7 +674,7 @@ def q_validate_t2(spark, sf_dir):
     # A12/§5.1 analog: validation report over the pipeline verdicts
     from fineweb_legal_spark.validation import validate_verdicts
 
-    return validate_verdicts(run_pipeline(spark, _transcripts(spark)))
+    return validate_verdicts(_t2_verdicts(spark))
 
 
 def q_split_counts_docs(spark, sf_dir):
