@@ -180,7 +180,33 @@ def run_with_lineage(
             .option("compression", "snappy")
             .parquet(str(out / "data"))
         )
-        got = obs.get
+        try:
+            got = obs.get
+        except Exception:  # noqa: BLE001
+            # A group whose every row is rejected writes ZERO rows; AQE's
+            # empty-relation propagation then eliminates the subtree holding
+            # the CollectMetrics node and the observation never materializes
+            # (reproduced: observe -> filter-to-zero -> partitioned parquet).
+            # Fall back to one explicit aggregation job for this rare group.
+            stats_rows = (
+                kept.groupBy(BUCKET_COL)
+                .agg(
+                    F.sum(F.col("keep").cast("long")).alias("kept"),
+                    F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+                    F.sum(
+                        (
+                            F.col("keep")
+                            & (F.col("scrubbed_text") != F.col("text"))
+                        ).cast("long")
+                    ).alias("scrubbed"),
+                )
+                .collect()
+            )
+            got = {}
+            for r in stats_rows:
+                b = int(r[BUCKET_COL])
+                for k in ("kept", "dropped", "scrubbed"):
+                    got[f"{k}_{b}"] = int(r[k])
 
         def _stat(b: int, k: str) -> int:
             v = got.get(f"{k}_{b}")

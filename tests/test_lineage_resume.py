@@ -58,3 +58,38 @@ def test_kill_resume_idempotent(spark, t1_transcripts, t1_golden):
     r3 = run_with_lineage(spark, t1_transcripts, OUT, n_groups=4)
     assert r3["groups_processed"] == 0
     _clean()
+
+
+def test_all_rejected_bucket_commits_and_resumes(spark):
+    """A committed bucket with ZERO kept rows writes no data directory
+    (dynamic partition overwrite); the reader and the resume path must
+    tolerate that instead of failing with PATH_NOT_FOUND."""
+    from datetime import datetime
+
+    from fineweb_legal_spark.streaming.filter_stream import TRANSCRIPT_SCHEMA
+
+    _clean()
+    # conversations whose every turn fails the length rule (too short) ->
+    # whole buckets end up all-rejected
+    ts = datetime(2025, 1, 1)
+    rows = [
+        (f"conv{i}", t, "user", "tiny", None, ts)
+        for i in range(64)
+        for t in range(3)
+    ]
+    df = spark.createDataFrame(rows, schema=TRANSCRIPT_SCHEMA)
+
+    r1 = run_with_lineage(spark, df, OUT, n_groups=1)
+    assert r1["buckets_processed"] == spec.LINEAGE_BUCKETS
+    lin = read_lineage(spark, OUT).toPandas()
+    assert int(lin.kept.sum()) == 0
+    assert int(lin.dropped.sum()) == len(rows)
+    assert "committed_at" in lin.columns and lin.committed_at.notna().all()
+
+    # reader: all buckets committed, none have data -> None, not an error
+    assert read_committed_output(spark, OUT) is None
+
+    # resume on the fully-committed (but dataless) output is a no-op
+    r2 = run_with_lineage(spark, df, OUT, n_groups=1)
+    assert r2["groups_processed"] == 0
+    _clean()
