@@ -410,6 +410,43 @@ def q_embedding_topk_cosine(spark, sf_dir):
     )
 
 
+def q_revenue_by_nation(spark, sf_dir):
+    # 3-table join: orders ⋈ customer (shuffle/broadcast by size) ⋈ nation
+    # (broadcast dim) → per-nation revenue. Exercises Catalyst join
+    # reordering + AQE join-strategy selection.
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q_event_gaps_users(spark, sf_dir):
+    # §2.5 analytic: lag() per-user inter-event gap in seconds; average of
+    # gaps per user for the 20 most active users (deterministic tiebreak)
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gaps = e.withColumn("gap_s", secs - F.lag(secs).over(w))
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.avg("gap_s"), 4).alias("avg_gap_s"),
+        )
+        .orderBy(F.desc("events"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
 def q_domain_topk_web(spark, sf_dir):
     # F14/C10: URL host extraction + top-20 domain counts (reference
     # analyze_dataset_deep.py:52-59). parse_url runs JVM-side.
@@ -719,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sum_avg_lineitem": q_sum_avg_lineitem,
         "tier_splits_events": q_tier_splits_events,
         "embedding_topk_cosine": q_embedding_topk_cosine,
+        "revenue_by_nation": q_revenue_by_nation,
+        "event_gaps_users": q_event_gaps_users,
         "domain_topk_web": q_domain_topk_web,
         "approx_percentiles_events": q_approx_percentiles_events,
         "approx_distinct_users_events": q_approx_distinct_users_events,
@@ -889,6 +928,28 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings v, q
             WHERE v.vec_id <> 0
             ORDER BY cos_sim DESC, v.vec_id ASC LIMIT 10
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "event_gaps_users": """
+            WITH g AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                     - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+              FROM events
+            )
+            SELECT user_id, count(*) AS events,
+                   round(avg(gap_s), 4) AS avg_gap_s
+            FROM g GROUP BY user_id
+            ORDER BY events DESC, user_id ASC LIMIT 20
         """,
         "domain_topk_web": f"""
             SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS domain,
