@@ -447,6 +447,17 @@ def q_event_gaps_users(spark, sf_dir):
     )
 
 
+def q_sessionize_events(spark, sf_dir):
+    # Gap-based sessionization (30-min gap): lag-window session marking +
+    # cumulative-sum session index + per-session rollup. Two window passes
+    # partitioned by user_id — embarrassingly parallel across users; no
+    # driver state. Unix-second bounds keep the output engine-neutral.
+    from fineweb_legal_spark.operators.cluster import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e, gap_s=1800)
+
+
 def q_domain_topk_web(spark, sf_dir):
     # F14/C10: URL host extraction + top-20 domain counts (reference
     # analyze_dataset_deep.py:52-59). parse_url runs JVM-side.
@@ -581,6 +592,20 @@ def q_minhash_neardup_t1(spark, sf_dir):
     from fineweb_legal_spark.operators.dedup import minhash_neardup_pairs
 
     return minhash_neardup_pairs(_t1_turns(spark), threshold=0.9)
+
+
+def q_dedup_clusters_t1(spark, sf_dir):
+    # Near-dup CLUSTER resolution: MinHash-LSH pairs -> connected
+    # components (hash-min label propagation; see operators/cluster.py for
+    # the 100TB scaling discussion). cluster_id = min member id, so the
+    # canonical keep-doc per cluster is deterministic. The oracle computes
+    # the same transitive closure independently via DuckDB recursive CTE
+    # over the brute-force golden pair list.
+    from fineweb_legal_spark.operators.cluster import connected_components
+    from fineweb_legal_spark.operators.dedup import minhash_neardup_pairs
+
+    pairs = minhash_neardup_pairs(_t1_turns(spark), threshold=0.9)
+    return connected_components(pairs)
 
 
 def q_simhash_neardup_t1(spark, sf_dir):
@@ -763,6 +788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users_events": q_approx_distinct_users_events,
         "softmax_score_events": q_softmax_score_events,
         "tier_stats_events": q_tier_stats_events,
+        "sessionize_events": q_sessionize_events,
+        "dedup_clusters_t1": q_dedup_clusters_t1,
         "minhash_neardup_t1": q_minhash_neardup_t1,
         "simhash_neardup_t1": q_simhash_neardup_t1,
         "jaccard_exact_docs": q_jaccard_exact_docs,
@@ -1005,6 +1032,48 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardup_t1": f"""
             SELECT id_a, id_b, jaccard
             FROM read_parquet('{DATA_DIR}/golden/t1/neardup_minhash.parquet')
+        """,
+        # transitive closure over the brute-force golden pair list —
+        # independent of the Spark label-propagation implementation
+        "dedup_clusters_t1": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b
+              FROM read_parquet('{DATA_DIR}/golden/t1/neardup_minhash.parquet')
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+            )
+            SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+        """,
+        "sessionize_events": """
+            WITH t AS (
+              SELECT user_id, event_id, ts,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                     LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+              FROM events
+            ), m AS (
+              SELECT user_id, event_id, ts, s,
+                     CASE WHEN prev_s IS NULL OR s - prev_s > 1800
+                          THEN 1 ELSE 0 END AS is_new
+              FROM t
+            ), x AS (
+              SELECT user_id, s,
+                     CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id
+                                            ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS sess_idx
+              FROM m
+            )
+            SELECT user_id, sess_idx, COUNT(*) AS n_events,
+                   MIN(s) AS session_start_s, MAX(s) AS session_end_s,
+                   MAX(s) - MIN(s) AS duration_s
+            FROM x GROUP BY user_id, sess_idx
         """,
         "simhash_neardup_t1": f"""
             SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming

@@ -1,0 +1,142 @@
+"""Graph/sequence grouping operators for the training-data pipeline:
+
+- connected_components: duplicate-cluster resolution over a near-dup pair
+  graph (the step AFTER MinHash/SimHash pair generation at corpus scale —
+  near-dup dedup keeps ONE canonical doc per connected component, not one
+  per pair). Reference analog: the exact-hash registry collapses exact
+  duplicates only (reference src/fineweb_legal/storage.py:81-129); near-dup
+  clusters need transitive closure.
+- sessionize: gap-based event sessionization (classic log-to-training-data
+  shaping; no reference analog — new scale requirement).
+
+Scale notes
+-----------
+connected_components is hash-min label propagation (Pregel-style): each
+round is one shuffle join + one min-aggregate, rounds = graph diameter.
+Near-dup graphs have tiny diameters (clusters are cliques-ish from LSH
+banding), so 3-5 rounds converge in practice; `max_iter` bounds the worst
+case and `localCheckpoint` truncates the growing lineage each round (else
+the plan doubles per iteration and Janino chokes by round ~8). For
+adversarial long-chain graphs at 100 TB, swap in the large-star/small-star
+alternation (Kiveris et al., MapReduce CC) — same join primitive, O(log n)
+rounds; hash-min is kept here because the dedup-graph diameter is small and
+each round is a single cheap shuffle.
+
+sessionize is two window passes over (user_id) partitions — embarrassingly
+parallel per user, no driver-side state; skewed power-users are bounded by
+per-user event counts, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Resolve (id_a, id_b) near-dup pairs into clusters.
+
+    Returns (id, cluster_id) for every id appearing in >=1 pair, where
+    cluster_id is the minimum id reachable through the pair graph —
+    deterministic, so the canonical "keep" doc per cluster is stable across
+    runs and partitionings.
+    """
+    sym = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label over {self} ∪ neighbors — one shuffle join + one min-agg
+        nbr = sym.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "lbl")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def dedup_cluster_summary(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Per-cluster rollup of connected_components: canonical keeper id
+    (== cluster_id, the min member), member count, and how many docs the
+    cluster removes from the corpus (n_members - 1)."""
+    cc = connected_components(pairs, max_iter=max_iter)
+    return (
+        cc.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .withColumn("n_removed", F.col("n_members") - F.lit(1))
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the inter-event gap
+    within a user exceeds `gap_s` seconds.
+
+    Returns one row per session: (user_id, sess_idx, n_events,
+    session_start_s, session_end_s, duration_s) with unix-second bounds
+    (BIGINT — engine-neutral for cross-engine comparison).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    secs = F.unix_timestamp(F.col(ts_col)).alias("s")
+    new_flag = (
+        F.when(
+            F.lag(F.unix_timestamp(F.col(ts_col))).over(w).isNull()
+            | (
+                F.unix_timestamp(F.col(ts_col))
+                - F.lag(F.unix_timestamp(F.col(ts_col))).over(w)
+                > gap_s
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new")
+    )
+    wcum = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = events.select(
+        user_col, ts_col, order_tiebreak, secs, new_flag
+    ).withColumn("sess_idx", F.sum("is_new").over(wcum))
+    return (
+        marked.groupBy(user_col, "sess_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("s").alias("session_start_s"),
+            F.max("s").alias("session_end_s"),
+        )
+        .withColumn(
+            "duration_s", F.col("session_end_s") - F.col("session_start_s")
+        )
+    )

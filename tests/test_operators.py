@@ -143,3 +143,43 @@ def test_embedding_neardup_matches_numpy_twin(spark):
     assert list(map(tuple, got.itertuples(index=False))) == [
         (a, b, float(c)) for a, b, c in expect
     ]
+
+
+def test_connected_components_tiny_graph(spark):
+    # two chains and a singleton-free triangle: {a,b,c}, {x,y}, {p,q,r}
+    from fineweb_legal_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("q", "p"), ("q", "r")],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"),
+        ("p", "p"), ("q", "p"), ("r", "p"),
+    }
+
+
+def test_sessionize_gap_splits(spark):
+    from fineweb_legal_spark.operators.cluster import sessionize
+
+    rows = [
+        # user 1: two sessions (gap 4000s > 1800s), first has 2 events
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:10:00"),
+        (3, 1, "2024-01-01 01:30:00"),
+        # user 2: one session
+        (4, 2, "2024-01-01 05:00:00"),
+    ]
+    e = spark.createDataFrame(rows, ["event_id", "user_id", "ts_s"]).select(
+        "event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["user_id"], r["sess_idx"]): (r["n_events"], r["duration_s"])
+        for r in sessionize(e, gap_s=1800).collect()
+    }
+    assert got == {(1, 1): (2, 600), (1, 2): (1, 0), (2, 1): (1, 0)}
