@@ -1,0 +1,68 @@
+"""Physical-plan regression tests: lock in the scale properties the engine
+was tuned for (broadcast dims, parquet pushdown/pruning, no CodegenFallback
+higher-order functions in hot paths). These only build plans — no jobs run
+— so they are cheap and catch silent plan regressions (a lost broadcast
+hint, a filter that stopped reaching the scan) before any benchmark does.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def queries():
+    import __spark_entry__ as entrymod
+
+    return entrymod.queries()
+
+
+def test_revenue_join_broadcasts_dimension(spark, queries):
+    # nation (25 rows) must be broadcast, never shuffled
+    plan = _plan(queries["revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_length_filter_pushes_down_to_scan(spark, queries):
+    plan = _plan(queries["length_filter_docs"](spark, SF_DIR))
+    # column pruning: the 2-column query must not read text-adjacent extras
+    assert "ReadSchema" in plan
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "lang" not in read and "source" not in read
+
+
+def test_topk_orders_is_take_ordered(spark, queries):
+    # ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    # top-k + merge), not a global sort
+    plan = _plan(queries["top_k_orders"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_queries_have_no_lambda_hofs(spark, queries):
+    # aggregate()/zip_with lambda HOFs are CodegenFallback (interpreted
+    # per element); the cosine kernels must stay numpy-in-Arrow-batch
+    for name in ("embedding_topk_cosine", "lsh_ann_topk", "ivf_ann_topk"):
+        plan = _plan(queries[name](spark, SF_DIR))
+        assert "aggregate(" not in plan, name
+        assert "zip_with(" not in plan, name
+
+
+def test_pipeline_filter_stage_is_whole_stage_codegen(spark, t1_transcripts):
+    from fineweb_legal_spark.pipeline import run_pipeline
+
+    plan = _plan(run_pipeline(spark, t1_transcripts))
+    # the only Python boundary is the single Arrow-batched model-stage
+    # mapInPandas node: no row-at-a-time Python UDF (BatchEvalPython), no
+    # grouped-pandas shuffle. (AQE shows isFinalPlan=false pre-execution,
+    # so codegen-id annotations are not visible here.)
+    assert ") BatchEvalPython" not in plan
+    assert ") FlatMapGroupsInPandas" not in plan
+    assert plan.count(") MapInPandas") == 1
