@@ -732,6 +732,23 @@ def q_hash_sample_docs(spark, sf_dir):
     return hash_sample(_t(spark, sf_dir, "documents"), "doc_id", 1).select("doc_id")
 
 
+def q_stratified_sample_docs(spark, sf_dir):
+    # Deterministic stratified sampling: k docs per source, ranked by
+    # md5(doc_id) within each stratum — reproducible across engines,
+    # partitionings and runs (seeded `sample()`/`sampleBy()` is
+    # engine-specific, so it can never be oracle-checked; hash-rank is the
+    # scale-safe analog of the reference's seeded split sampling,
+    # create_dataset_splits.py:26-30). One shuffle (window by source).
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "source", "rk")
+    )
+
+
 def q_validate_t2(spark, sf_dir):
     # A12/§5.1 analog: validation report over the pipeline verdicts
     from fineweb_legal_spark.validation import validate_verdicts
@@ -806,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truncate_docs": q_truncate_docs,
         "value_stats_events": q_value_stats_events,
         "hash_sample_docs": q_hash_sample_docs,
+        "stratified_sample_docs": q_stratified_sample_docs,
         "validate_t2": q_validate_t2,
         "split_counts_docs": q_split_counts_docs,
     }
@@ -1234,6 +1252,16 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_docs": """
             SELECT doc_id FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        """,
+        "stratified_sample_docs": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS INTEGER) AS rk
+              FROM documents
+            )
+            SELECT doc_id, source, rk FROM r WHERE rk <= 5
         """,
         "split_counts_docs": """
             WITH d AS (

@@ -183,3 +183,22 @@ def test_sessionize_gap_splits(spark):
         for r in sessionize(e, gap_s=1800).collect()
     }
     assert got == {(1, 1): (2, 600), (1, 2): (1, 0), (2, 1): (1, 0)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from fineweb_legal_spark.operators.skew import salted_join
+
+    # heavy-hitter: 90% of fact rows share key 0
+    fact = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    got = salted_join(fact, dim, "k", salt=8)
+    plain = fact.join(dim, "k")
+    assert got.count() == plain.count()
+    assert got.select(F.sum("v")).first()[0] == plain.select(F.sum("v")).first()[0]
+    # every hot-key row survived with the right payload
+    assert got.filter("k = 0 and name = 'd0'").count() == fact.filter("k = 0").count()
