@@ -594,6 +594,24 @@ def q_minhash_neardup_t1(spark, sf_dir):
     return minhash_neardup_pairs(_t1_turns(spark), threshold=0.9)
 
 
+_CC_CACHE: dict[str, DataFrame] = {}
+
+
+def _t1_cc(spark: SparkSession) -> DataFrame:
+    """Connected-component labels over the t1 MinHash near-dup pair graph,
+    persisted once per session (two driver queries consume them; the label
+    propagation re-runs LSH + N join rounds otherwise)."""
+    from fineweb_legal_spark.operators.cluster import connected_components
+    from fineweb_legal_spark.operators.dedup import minhash_neardup_pairs
+
+    key = spark.sparkContext.applicationId
+    if key not in _CC_CACHE:
+        _CC_CACHE.clear()
+        pairs = minhash_neardup_pairs(_t1_turns(spark), threshold=0.9)
+        _CC_CACHE[key] = connected_components(pairs).persist()
+    return _CC_CACHE[key]
+
+
 def q_dedup_clusters_t1(spark, sf_dir):
     # Near-dup CLUSTER resolution: MinHash-LSH pairs -> connected
     # components (hash-min label propagation; see operators/cluster.py for
@@ -601,11 +619,15 @@ def q_dedup_clusters_t1(spark, sf_dir):
     # canonical keep-doc per cluster is deterministic. The oracle computes
     # the same transitive closure independently via DuckDB recursive CTE
     # over the brute-force golden pair list.
-    from fineweb_legal_spark.operators.cluster import connected_components
-    from fineweb_legal_spark.operators.dedup import minhash_neardup_pairs
+    return _t1_cc(spark)
 
-    pairs = minhash_neardup_pairs(_t1_turns(spark), threshold=0.9)
-    return connected_components(pairs)
+
+def q_dedup_cluster_stats_t1(spark, sf_dir):
+    # The dedup report: per-cluster member count and docs removed by
+    # keeping one canonical member per cluster.
+    from fineweb_legal_spark.operators.cluster import dedup_cluster_summary
+
+    return dedup_cluster_summary(_t1_cc(spark))
 
 
 def q_simhash_neardup_t1(spark, sf_dir):
@@ -807,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tier_stats_events": q_tier_stats_events,
         "sessionize_events": q_sessionize_events,
         "dedup_clusters_t1": q_dedup_clusters_t1,
+        "dedup_cluster_stats_t1": q_dedup_cluster_stats_t1,
         "minhash_neardup_t1": q_minhash_neardup_t1,
         "simhash_neardup_t1": q_simhash_neardup_t1,
         "jaccard_exact_docs": q_jaccard_exact_docs,
@@ -1067,6 +1090,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
             )
             SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+        """,
+        "dedup_cluster_stats_t1": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b
+              FROM read_parquet('{DATA_DIR}/golden/t1/neardup_minhash.parquet')
+            ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ), reach(id, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+            ), cc AS (
+              SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+            )
+            SELECT cluster_id, COUNT(*) AS n_members,
+                   COUNT(*) - 1 AS n_removed
+            FROM cc GROUP BY cluster_id
         """,
         "sessionize_events": """
             WITH t AS (

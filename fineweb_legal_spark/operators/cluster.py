@@ -80,11 +80,10 @@ def connected_components(
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 
-def dedup_cluster_summary(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
-    """Per-cluster rollup of connected_components: canonical keeper id
-    (== cluster_id, the min member), member count, and how many docs the
-    cluster removes from the corpus (n_members - 1)."""
-    cc = connected_components(pairs, max_iter=max_iter)
+def dedup_cluster_summary(cc: DataFrame) -> DataFrame:
+    """Per-cluster rollup of connected_components labels: canonical keeper
+    id (== cluster_id, the min member), member count, and how many docs
+    the cluster removes from the corpus (n_members - 1)."""
     return (
         cc.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_members"))
