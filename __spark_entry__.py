@@ -458,6 +458,41 @@ def q_sessionize_events(spark, sf_dir):
     return sessionize(e, gap_s=1800)
 
 
+def q_asof_last_click_events(spark, sf_dir):
+    # As-of join (union + single window pass; operators/asof.py): every
+    # 'view' event gains the most recent at-or-before 'click' timestamp of
+    # the same user. Oracle = DuckDB's native ASOF LEFT JOIN — a fully
+    # independent implementation of the semantics.
+    from fineweb_legal_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    views = e.filter("event_type = 'view'").select("event_id", "user_id", "ts")
+    clicks = e.filter("event_type = 'click'").select("user_id", "ts")
+    j = asof_join(views, clicks, key="user_id", ts="ts")
+    return j.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("view_s"),
+        F.unix_timestamp("asof_ts").alias("click_s"),
+    )
+
+
+def q_range_join_bands_events(spark, sf_dir):
+    # Range-band join via coarse-bucket equi-join + exact refilter
+    # (operators/asof.py): overlapping value bands, so rows can match
+    # multiple intervals — semantics a plain tier CASE cannot express.
+    from fineweb_legal_spark.operators.asof import range_bucket_join
+
+    e = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 50.0, 200.0), ("high", 150.0, 500.0)],
+        ["band", "lo", "hi"],
+    )
+    return range_bucket_join(e, bands, "value", step=50.0).select(
+        "event_id", "band", F.round("value", 2).alias("value")
+    )
+
+
 def q_domain_topk_web(spark, sf_dir):
     # F14/C10: URL host extraction + top-20 domain counts (reference
     # analyze_dataset_deep.py:52-59). parse_url runs JVM-side.
@@ -828,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "softmax_score_events": q_softmax_score_events,
         "tier_stats_events": q_tier_stats_events,
         "sessionize_events": q_sessionize_events,
+        "asof_last_click_events": q_asof_last_click_events,
+        "range_join_bands_events": q_range_join_bands_events,
         "dedup_clusters_t1": q_dedup_clusters_t1,
         "dedup_cluster_stats_t1": q_dedup_cluster_stats_t1,
         "minhash_neardup_t1": q_minhash_neardup_t1,
@@ -1090,6 +1127,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
             )
             SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+        """,
+        "asof_last_click_events": """
+            SELECT l.event_id, l.user_id,
+                   CAST(floor(epoch(l.ts)) AS BIGINT) AS view_s,
+                   CAST(floor(epoch(r.ts)) AS BIGINT) AS click_s
+            FROM (SELECT * FROM events WHERE event_type = 'view') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "range_join_bands_events": """
+            SELECT e.event_id, b.band, round(e.value, 2) AS value
+            FROM events e
+            JOIN (VALUES ('low', 0.0, 100.0),
+                         ('mid', 50.0, 200.0),
+                         ('high', 150.0, 500.0)) b(band, lo, hi)
+              ON e.value >= b.lo AND e.value < b.hi
         """,
         "dedup_cluster_stats_t1": f"""
             WITH RECURSIVE pairs AS (

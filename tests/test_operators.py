@@ -202,3 +202,37 @@ def test_salted_join_matches_plain_join(spark):
     assert got.select(F.sum("v")).first()[0] == plain.select(F.sum("v")).first()[0]
     # every hot-key row survived with the right payload
     assert got.filter("k = 0 and name = 'd0'").count() == fact.filter("k = 0").count()
+
+
+def test_asof_join_tiny(spark):
+    from fineweb_legal_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", 100), (2, "u", 205), (3, "v", 50)], ["event_id", "k", "t"]
+    )
+    right = spark.createDataFrame(
+        [("u", 100), ("u", 200), ("v", 60)], ["k", "t"]
+    )
+    got = {
+        r["event_id"]: r["asof_ts"]
+        for r in asof_join(left, right, key="k", ts="t").collect()
+    }
+    # equal timestamps match (>=); no prior click -> null
+    assert got == {1: 100, 2: 200, 3: None}
+
+
+def test_range_bucket_join_tiny(spark):
+    from fineweb_legal_spark.operators.asof import range_bucket_join
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (2, 75.0), (3, 150.0)], ["id", "v"]
+    )
+    bands = spark.createDataFrame(
+        [("a", 0.0, 100.0), ("b", 50.0, 200.0)], ["band", "lo", "hi"]
+    )
+    got = {
+        (r["id"], r["band"])
+        for r in range_bucket_join(facts, bands, "v", step=30.0).collect()
+    }
+    # 75 overlaps both bands; 150 only band b; boundary 0<=10<100 in a
+    assert got == {(1, "a"), (2, "a"), (2, "b"), (3, "b")}
