@@ -458,6 +458,52 @@ def q_sessionize_events(spark, sf_dir):
     return sessionize(e, gap_s=1800)
 
 
+def q_hourly_event_counts(spark, sf_dir):
+    # Native tumbling time window (F.window) — the batch form of the
+    # streaming windowed agg; window start emitted as unix seconds for
+    # engine-neutral comparison. Sums in integer cents: float addition
+    # order differs across engines/groupings, cents are exact.
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("hour_s"), "n_events", "sum_cents"
+        )
+    )
+
+
+def q_rollup_event_user(spark, sf_dir):
+    # Grouping sets via rollup(event_type, user_bucket): per-pair,
+    # per-type subtotal, grand total in ONE pass (Expand + single
+    # aggregation exchange — not three scans).
+    e = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.pmod("user_id", F.lit(10))
+    )
+    return e.rollup("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    )
+
+
+def q_pivot_event_type_counts(spark, sf_dir):
+    # Pivot with an EXPLICIT value list — open-ended pivot needs a driver
+    # pass to enumerate values; pinning the list keeps the plan one-pass.
+    e = _t(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.pmod("user_id", F.lit(10))
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_bucket")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
 def q_asof_last_click_events(spark, sf_dir):
     # As-of join (union + single window pass; operators/asof.py): every
     # 'view' event gains the most recent at-or-before 'click' timestamp of
@@ -863,6 +909,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "softmax_score_events": q_softmax_score_events,
         "tier_stats_events": q_tier_stats_events,
         "sessionize_events": q_sessionize_events,
+        "hourly_event_counts": q_hourly_event_counts,
+        "rollup_event_user": q_rollup_event_user,
+        "pivot_event_type_counts": q_pivot_event_type_counts,
         "asof_last_click_events": q_asof_last_click_events,
         "range_join_bands_events": q_range_join_bands_events,
         "dedup_clusters_t1": q_dedup_clusters_t1,
@@ -1127,6 +1176,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
             )
             SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id
+        """,
+        "hourly_event_counts": """
+            SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+                     AS hour_s,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM events GROUP BY 1
+        """,
+        "rollup_event_user": """
+            SELECT event_type,
+                   CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_cents
+            FROM events
+            GROUP BY ROLLUP(event_type, (CAST(user_id % 10 AS BIGINT)))
+        """,
+        "pivot_event_type_counts": """
+            SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+                   COUNT(*) FILTER (event_type = 'click') AS click,
+                   COUNT(*) FILTER (event_type = 'error') AS error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS signup,
+                   COUNT(*) FILTER (event_type = 'view') AS view
+            FROM events GROUP BY 1
         """,
         "asof_last_click_events": """
             SELECT l.event_id, l.user_id,
