@@ -102,6 +102,49 @@ def start_filter_stream(
     return writer.start()
 
 
+def start_session_stream(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    delay: str = "1 hour",
+    available_now: bool = True,
+):
+    """Native streaming session windows: per-conversation activity bursts
+    via `session_window(ts, gap)` — windows merge in the state store as
+    turns arrive and are emitted (append mode) only once the watermark
+    passes their end, so late data within `delay` still extends a
+    session. The batch twin of the same expression is the ground truth in
+    tests; the gap-based batch sessionizer (operators/cluster.py) is the
+    oracle-checked variant of the same semantics."""
+    stream = (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("conv_id"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "conv_id",
+            "n_turns",
+        )
+    )
+    writer = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_conv_metrics_stream(
     spark: SparkSession,
     src_dir: str,

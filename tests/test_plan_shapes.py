@@ -66,3 +66,19 @@ def test_pipeline_filter_stage_is_whole_stage_codegen(spark, t1_transcripts):
     assert ") BatchEvalPython" not in plan
     assert ") FlatMapGroupsInPandas" not in plan
     assert plan.count(") MapInPandas") == 1
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    # partition-on-disk layout must turn a partition-key predicate into
+    # PartitionFilters at the scan (directories skipped, not row-filtered)
+    src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    out = str(tmp_path / "events_by_type")
+    src.write.partitionBy("event_type").parquet(out)
+    df = spark.read.parquet(out).filter("event_type = 'click'")
+    plan = _plan(df)
+    scan = plan[plan.index("PartitionFilters") :].splitlines()[0]
+    assert "event_type" in scan
+    # the predicate must NOT degrade to a post-scan row Filter node — it
+    # is fully absorbed into directory pruning
+    assert ") Filter" not in plan
+    assert df.count() == src.filter("event_type = 'click'").count()

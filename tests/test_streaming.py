@@ -94,3 +94,47 @@ def test_stream_conv_state(spark):
         assert int(f.total_words) == int(row.total_words), cid
         assert int(f.max_turn_idx) == int(row.max_turn_idx), cid
     shutil.rmtree(BASE, ignore_errors=True)
+
+
+def test_stream_session_windows(spark):
+    """Streaming session_window result must be a subset of the batch twin,
+    and must contain every session finalized before the terminal
+    watermark (append mode emits exactly the watermark-passed windows)."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from fineweb_legal_spark.streaming.filter_stream import start_session_stream
+
+    src = _setup_source()
+    out, cp = str(BASE / "swout"), str(BASE / "swcp")
+    q = start_session_stream(spark, src, out, cp)
+    q.awaitTermination(300)
+    got = spark.read.parquet(out).toPandas()
+    assert len(got) > 0
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "conv_id")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "conv_id",
+            "n_turns",
+        )
+        .toPandas()
+    )
+
+    def key(d):
+        return set(
+            map(tuple, d[["conv_id", "sess_start", "sess_end", "n_turns"]]
+                .astype(str).values)
+        )
+
+    gset, bset = key(got), key(batch)
+    assert gset <= bset
+    max_ts = spark.read.parquet(src).agg(F.max("ts")).first()[0]
+    wm = max_ts - pd.Timedelta(hours=1)
+    finalized = batch[pd.to_datetime(batch.sess_end) < wm]
+    assert key(finalized) <= gset
+    shutil.rmtree(BASE, ignore_errors=True)
