@@ -669,10 +669,26 @@ def _t1_turns(spark: SparkSession) -> DataFrame:
     )
 
 
-def q_minhash_neardup_t1(spark, sf_dir):
+_MINHASH_CACHE: dict[str, DataFrame] = {}
+
+
+def _t1_minhash_pairs(spark: SparkSession) -> DataFrame:
+    """MinHash-LSH near-dup pairs over t1, persisted once per session —
+    consumed by the pair query AND the two cluster queries, so the LSH
+    banding + candidate join runs once, not three times."""
     from fineweb_legal_spark.operators.dedup import minhash_neardup_pairs
 
-    return minhash_neardup_pairs(_t1_turns(spark), threshold=0.9)
+    key = spark.sparkContext.applicationId
+    if key not in _MINHASH_CACHE:
+        _MINHASH_CACHE.clear()
+        _MINHASH_CACHE[key] = minhash_neardup_pairs(
+            _t1_turns(spark), threshold=0.9
+        ).persist()
+    return _MINHASH_CACHE[key]
+
+
+def q_minhash_neardup_t1(spark, sf_dir):
+    return _t1_minhash_pairs(spark)
 
 
 _CC_CACHE: dict[str, DataFrame] = {}
@@ -681,15 +697,15 @@ _CC_CACHE: dict[str, DataFrame] = {}
 def _t1_cc(spark: SparkSession) -> DataFrame:
     """Connected-component labels over the t1 MinHash near-dup pair graph,
     persisted once per session (two driver queries consume them; the label
-    propagation re-runs LSH + N join rounds otherwise)."""
+    propagation re-runs N join rounds otherwise)."""
     from fineweb_legal_spark.operators.cluster import connected_components
-    from fineweb_legal_spark.operators.dedup import minhash_neardup_pairs
 
     key = spark.sparkContext.applicationId
     if key not in _CC_CACHE:
         _CC_CACHE.clear()
-        pairs = minhash_neardup_pairs(_t1_turns(spark), threshold=0.9)
-        _CC_CACHE[key] = connected_components(pairs).persist()
+        _CC_CACHE[key] = connected_components(
+            _t1_minhash_pairs(spark)
+        ).persist()
     return _CC_CACHE[key]
 
 
