@@ -92,18 +92,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def _session_cached(cache: dict, spark: SparkSession, build) -> DataFrame:
+    """Build-once-per-SparkSession persisted frame: several driver queries
+    consume the same expensive intermediate (pipeline verdicts, LSH pairs,
+    CC labels), and without this each would re-run it with fresh codegen."""
+    key = spark.sparkContext.applicationId
+    if key not in cache:
+        cache.clear()
+        cache[key] = build().persist()
+    return cache[key]
+
+
 _VERDICTS_CACHE: dict[str, DataFrame] = {}
 
 
 def _t2_verdicts(spark: SparkSession) -> DataFrame:
-    """The t2 pipeline verdicts, persisted once per session: five driver
-    queries consume this same frame, and without the cache each re-runs
-    the full pipeline (fresh codegen + model stage per query)."""
-    key = spark.sparkContext.applicationId
-    if key not in _VERDICTS_CACHE:
-        _VERDICTS_CACHE.clear()
-        _VERDICTS_CACHE[key] = run_pipeline(spark, _transcripts(spark)).persist()
-    return _VERDICTS_CACHE[key]
+    return _session_cached(
+        _VERDICTS_CACHE, spark, lambda: run_pipeline(spark, _transcripts(spark))
+    )
 
 
 def q_pipeline_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -673,18 +679,15 @@ _MINHASH_CACHE: dict[str, DataFrame] = {}
 
 
 def _t1_minhash_pairs(spark: SparkSession) -> DataFrame:
-    """MinHash-LSH near-dup pairs over t1, persisted once per session —
-    consumed by the pair query AND the two cluster queries, so the LSH
-    banding + candidate join runs once, not three times."""
+    """MinHash-LSH near-dup pairs over t1 — consumed by the pair query AND
+    the two cluster queries, so LSH banding + candidate join runs once."""
     from fineweb_legal_spark.operators.dedup import minhash_neardup_pairs
 
-    key = spark.sparkContext.applicationId
-    if key not in _MINHASH_CACHE:
-        _MINHASH_CACHE.clear()
-        _MINHASH_CACHE[key] = minhash_neardup_pairs(
-            _t1_turns(spark), threshold=0.9
-        ).persist()
-    return _MINHASH_CACHE[key]
+    return _session_cached(
+        _MINHASH_CACHE,
+        spark,
+        lambda: minhash_neardup_pairs(_t1_turns(spark), threshold=0.9),
+    )
 
 
 def q_minhash_neardup_t1(spark, sf_dir):
@@ -695,18 +698,15 @@ _CC_CACHE: dict[str, DataFrame] = {}
 
 
 def _t1_cc(spark: SparkSession) -> DataFrame:
-    """Connected-component labels over the t1 MinHash near-dup pair graph,
-    persisted once per session (two driver queries consume them; the label
-    propagation re-runs N join rounds otherwise)."""
+    """Connected-component labels over the t1 MinHash near-dup pair graph
+    (two driver queries consume them)."""
     from fineweb_legal_spark.operators.cluster import connected_components
 
-    key = spark.sparkContext.applicationId
-    if key not in _CC_CACHE:
-        _CC_CACHE.clear()
-        _CC_CACHE[key] = connected_components(
-            _t1_minhash_pairs(spark)
-        ).persist()
-    return _CC_CACHE[key]
+    return _session_cached(
+        _CC_CACHE,
+        spark,
+        lambda: connected_components(_t1_minhash_pairs(spark)),
+    )
 
 
 def q_dedup_clusters_t1(spark, sf_dir):

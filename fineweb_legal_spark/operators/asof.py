@@ -43,6 +43,10 @@ def asof_join(
     right timestamp is carried — payload-free, so duplicate right
     timestamps cannot make the result ambiguous.
     """
+    reserved = {"__side", right_ts_as}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"asof_join reserved columns present on left: {clash}")
     lt = left.withColumn("__side", F.lit(1))
     rt = right.select(
         key, F.col(ts).alias(ts), F.lit(0).alias("__side")
@@ -78,10 +82,14 @@ def range_bucket_join(
     `step` must not exceed the smallest interval width you want found in
     one bucket hop — each interval explodes into ceil(width/step)+1
     bucket rows."""
+    if "__bucket" in facts.columns or "__bucket" in ranges.columns:
+        raise ValueError("range_bucket_join reserves the __bucket column")
     f = facts.withColumn(
         "__bucket", F.floor(F.col(value_col) / F.lit(step)).cast("long")
     )
-    r = ranges.withColumn(
+    # empty/reversed intervals match nothing; dropping them here also stops
+    # a reversed interval from exploding into a descending bucket sequence
+    r = ranges.filter(F.col(hi_col) > F.col(lo_col)).withColumn(
         "__bucket",
         F.explode(
             F.sequence(

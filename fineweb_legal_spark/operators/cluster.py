@@ -49,6 +49,10 @@ def connected_components(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
         .distinct()
+        # materialize once: every propagation round joins against sym, and
+        # without this the symmetrize-union + distinct shuffle would
+        # re-execute per round
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("id"))
@@ -77,6 +81,14 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    else:
+        # a silent non-converged return would split real clusters and
+        # break the deterministic-canonical-keeper guarantee
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(graph diameter exceeds max_iter; raise it or switch to "
+            "large-star/small-star)"
+        )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
 
 

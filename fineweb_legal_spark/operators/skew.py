@@ -36,6 +36,8 @@ def salted_join(
     """Equi-join `skewed` (heavy-hitter keys) with `other` on `key`,
     spreading each key over `salt` reducers. Result is identical to
     `skewed.join(other, key, how)` for inner/left joins."""
+    if _SALT in skewed.columns or _SALT in other.columns:
+        raise ValueError(f"salted_join reserves the {_SALT} column")
     salted = skewed.withColumn(
         _SALT,
         F.pmod(F.xxhash64(F.struct(*skewed.columns)), F.lit(salt)).cast("int"),

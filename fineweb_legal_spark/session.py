@@ -70,3 +70,15 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def explain_formatted(df) -> str:
+    """Formatted physical-plan text of a DataFrame.
+
+    Single home for the private-API touchpoint (``_sc._jvm`` /
+    ``PythonSQLUtils``) used by the plan-shape tests and the plan-audit
+    tool, so a pyspark upgrade that moves it is a one-line fix.
+    """
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )

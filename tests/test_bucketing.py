@@ -7,10 +7,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from fineweb_legal_spark.session import explain_formatted as _plan
 
 
 def test_bucketed_join_has_no_exchange(spark):

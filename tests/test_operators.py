@@ -236,3 +236,20 @@ def test_range_bucket_join_tiny(spark):
     }
     # 75 overlaps both bands; 150 only band b; boundary 0<=10<100 in a
     assert got == {(1, "a"), (2, "a"), (2, "b"), (3, "b")}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from fineweb_legal_spark.operators.cluster import connected_components
+
+    # a 6-node chain needs 5 propagation rounds; max_iter=2 must raise,
+    # never silently return split clusters
+    chain = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(5)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    # and with enough rounds the same chain is one cluster
+    got = connected_components(chain, max_iter=10)
+    assert got.select("cluster_id").distinct().count() == 1

@@ -12,10 +12,7 @@ import pytest
 SF_DIR = "/root/testdata/sf0.01"
 
 
-def _plan(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+from fineweb_legal_spark.session import explain_formatted as _plan
 
 
 @pytest.fixture(scope="module")

@@ -27,9 +27,14 @@ def _run_child(cpus: int) -> dict | None:
     cmd = [sys.executable, str(REPO / "bench.py"), "--scaling-child", str(cpus)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cpus - 1}", *cmd]
-    proc = subprocess.run(
-        cmd, capture_output=True, text=True, timeout=2700, cwd=str(REPO)
-    )
+    try:
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=2700, cwd=str(REPO)
+        )
+    except subprocess.TimeoutExpired:
+        # a hung child must not discard the other width's completed round
+        print(f"child local[{cpus}] timed out", file=sys.stderr)
+        return None
     for line in proc.stdout.splitlines():
         if line.startswith("SCALING_RESULT "):
             out = json.loads(line.split(" ", 1)[1])
