@@ -795,6 +795,17 @@ def q_lsh_ann_topk(spark, sf_dir):
     return lsh_ann_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+def q_pack_conversations_t1(spark, sf_dir):
+    # Greedy sample packing: turns -> token-budgeted training chunks
+    # (operators/packing.py). Inherently sequential per conversation, so
+    # it is a grouped-map UDF; the oracle re-implements the same
+    # recurrence independently as a DuckDB recursive CTE.
+    from fineweb_legal_spark.operators.packing import pack_turns
+
+    t = spark.read.parquet(str(ensure_transcripts("t1")))
+    return pack_turns(t, budget=512)
+
+
 def q_media_meta(spark, sf_dir):
     from fineweb_legal_spark.datasets import ensure_media
     from fineweb_legal_spark.operators.multimodal import media_meta
@@ -942,6 +953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "pack_conversations_t1": q_pack_conversations_t1,
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frame_sample,
         "media_embeddings": q_media_embeddings,
@@ -1235,6 +1247,33 @@ def oracle_sql() -> dict[str, str]:
                          ('mid', 50.0, 200.0),
                          ('high', 150.0, 500.0)) b(band, lo, hi)
               ON e.value >= b.lo AND e.value < b.hi
+        """,
+        # greedy packing recurrence re-implemented independently: the
+        # recursive CTE carries (running total, chunk index) across
+        # row_number order, per conversation
+        "pack_conversations_t1": f"""
+            WITH RECURSIVE t AS (
+              SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx,
+                     CAST(greatest(1, floor(length(coalesce(text, '')) / 4))
+                          AS BIGINT) AS w,
+                     CAST(row_number() OVER (PARTITION BY conv_id
+                                             ORDER BY turn_idx)
+                          AS INTEGER) AS rn
+              FROM read_parquet('{ensure_transcripts("t1")}')
+            ), r AS (
+              SELECT conv_id, turn_idx, rn, w, w AS acc, 0 AS chunk
+              FROM t WHERE rn = 1
+              UNION ALL
+              SELECT t.conv_id, t.turn_idx, t.rn, t.w,
+                     CASE WHEN r.acc + t.w > 512 THEN t.w
+                          ELSE r.acc + t.w END,
+                     r.chunk + CASE WHEN r.acc + t.w > 512 THEN 1 ELSE 0 END
+              FROM t JOIN r ON t.conv_id = r.conv_id AND t.rn = r.rn + 1
+            )
+            SELECT conv_id, CAST(chunk AS INTEGER) AS chunk_idx,
+                   COUNT(*) AS n_turns, CAST(SUM(w) AS BIGINT) AS tokens,
+                   MIN(turn_idx) AS first_turn, MAX(turn_idx) AS last_turn
+            FROM r GROUP BY 1, 2
         """,
         "dedup_cluster_stats_t1": f"""
             WITH RECURSIVE pairs AS (

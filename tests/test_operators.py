@@ -253,3 +253,21 @@ def test_connected_components_raises_on_nonconvergence(spark):
     # and with enough rounds the same chain is one cluster
     got = connected_components(chain, max_iter=10)
     assert got.select("cluster_id").distinct().count() == 1
+
+
+def test_pack_turns_greedy_boundaries(spark):
+    from fineweb_legal_spark.operators.packing import pack_turns
+
+    # token estimates: max(1, len//4). Texts of 40/40/400/40 chars ->
+    # 10/10/100/10 tokens with budget 25: [t0,t1] then oversized t2 alone
+    # (overflows but opens its own chunk) then [t3]
+    rows = [
+        ("c", 0, "x" * 40), ("c", 1, "x" * 40),
+        ("c", 2, "x" * 400), ("c", 3, "x" * 40),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    got = {
+        r["chunk_idx"]: (r["n_turns"], r["tokens"], r["first_turn"], r["last_turn"])
+        for r in pack_turns(df, budget=25).collect()
+    }
+    assert got == {0: (2, 20, 0, 1), 1: (1, 100, 2, 2), 2: (1, 10, 3, 3)}
