@@ -79,3 +79,33 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # is fully absorbed into directory pruning
     assert ") Filter" not in plan
     assert df.count() == src.filter("event_type = 'click'").count()
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    # Runtime row-level filtering: with a selective build side, Catalyst
+    # injects a bloom filter (might_contain) on the probe side of a
+    # shuffle join, cutting shuffle volume before the exchange — the
+    # 100TB selective-join technique. Thresholds are lowered because the
+    # sf0.01 tables are below the production defaults.
+    import pyspark.sql.functions as F  # noqa: F401
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        cust = spark.read.parquet(f"{SF_DIR}/customer.parquet").filter(
+            "c_mktsegment = 'BUILDING'"
+        )
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        assert "might_contain" in _plan(j).lower()
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
