@@ -29,6 +29,7 @@ from fineweb_legal_spark.datasets import (
     ensure_golden,
     ensure_ivf_centroids,
     ensure_planes,
+    ensure_pq_codebooks,
     ensure_transcripts,
     ensure_web_golden,
     ensure_webdocs,
@@ -779,6 +780,16 @@ def q_ivf_ann_topk(spark, sf_dir):
     return ivf_ann_topk(emb, query_ids=list(range(10)), k=5, dim=64, nprobe=4)
 
 
+def q_pq_ann_topk(spark, sf_dir):
+    # Product-quantization ADC top-k: the compressed-scan ANN path next to
+    # LSH (bucket-pruned) and IVF (cell-pruned) — scans every row but over
+    # 4-byte codes, exact-cosine re-ranks a 50-row shortlist per query.
+    from fineweb_legal_spark.operators.similarity import pq_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_ann_topk(emb, query_ids=list(range(10)), k=5, dim=64)
+
+
 def q_embedding_neardup(spark, sf_dir):
     # embedding-cosine near-dup pairs: LSH-bucketed candidate equi-join +
     # exact numpy-cosine verify (the scale path: never all-pairs)
@@ -953,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "pq_ann_topk": q_pq_ann_topk,
         "pack_conversations_t1": q_pack_conversations_t1,
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frame_sample,
@@ -1411,6 +1423,57 @@ def oracle_sql() -> dict[str, str]:
               FROM cand cd
               JOIN embeddings v  ON v.vec_id  = cd.vec_id
               JOIN embeddings qe ON qe.vec_id = cd.query_id
+            )
+            SELECT query_id, vec_id, rank, cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        # independent oracle: PQ encode + ADC + re-rank replayed in pure
+        # SQL from the exported codebook parquet — no shared code with the
+        # Spark path. Approx scores rounded to 4 decimals on both sides
+        # before the shortlist cut (fp-sum association differs).
+        "pq_ann_topk": f"""
+            WITH cb AS (
+              SELECT m, code, weights
+              FROM read_parquet('{ensure_pq_codebooks(64)}')
+            ),
+            enc AS (
+              SELECT e.vec_id, cb.m,
+                     arg_min(cb.code, list_distance(
+                         list_slice(e.embedding, cb.m * 8 + 1, cb.m * 8 + 8),
+                         cb.weights)) AS code
+              FROM embeddings e, cb
+              GROUP BY e.vec_id, cb.m
+            ),
+            lut AS (
+              SELECT qe.vec_id AS query_id, cb.m, cb.code,
+                     list_dot_product(
+                         list_slice(qe.embedding, cb.m * 8 + 1, cb.m * 8 + 8),
+                         cb.weights) AS w
+              FROM embeddings qe, cb WHERE qe.vec_id < 10
+            ),
+            approx AS (
+              SELECT l.query_id, enc.vec_id, round(SUM(l.w), 4) AS s
+              FROM enc JOIN lut l ON l.m = enc.m AND l.code = enc.code
+              WHERE enc.vec_id <> l.query_id
+              GROUP BY 1, 2
+            ),
+            short AS (
+              SELECT query_id, vec_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY s DESC, vec_id) AS rn
+                FROM approx
+              ) WHERE rn <= 50
+            ),
+            scored AS (
+              SELECT sh.query_id, sh.vec_id,
+                     round(list_cosine_similarity(v.embedding, qe.embedding),
+                           4) AS cos_sim
+              FROM short sh
+              JOIN embeddings v  ON v.vec_id  = sh.vec_id
+              JOIN embeddings qe ON qe.vec_id = sh.query_id
             )
             SELECT query_id, vec_id, rank, cos_sim FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id

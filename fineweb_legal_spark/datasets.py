@@ -197,3 +197,25 @@ def ensure_web_golden(tier: str) -> Path:
         src["url"] = src["url"].astype("string")
         _write(oracle_web_keep(src), p)
     return p
+
+
+def ensure_pq_codebooks(dim: int) -> Path:
+    """Export the PQ codebooks as (m, code, weights) parquet so the DuckDB
+    oracle can replay encode + ADC + re-rank independently in pure SQL."""
+    p = DATA_DIR / "golden" / f"pq_codebooks_dim{dim}.parquet"
+    if not p.exists():
+        import pandas as pd
+
+        from .operators.similarity import pq_codebooks
+
+        cb = pq_codebooks(dim)  # (M, K, dsub)
+        rows = {
+            "m": [], "code": [], "weights": [],
+        }
+        for m in range(cb.shape[0]):
+            for c in range(cb.shape[1]):
+                rows["m"].append(m)
+                rows["code"].append(c)
+                rows["weights"].append(cb[m, c].tolist())
+        _write(pd.DataFrame(rows), p)
+    return p
