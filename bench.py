@@ -73,6 +73,36 @@ RESULT: dict = {
 _PRINTED = False
 
 
+def _compact(result: dict) -> dict:
+    """Shrink the result to a guaranteed-small (<~1 KB) JSON payload.
+
+    Round 2 lesson: the driver records only the TAIL of stdout, and a
+    headline line embedding all raw scaling rounds outgrew that buffer
+    (BENCH_r02.json: rc 0 but parsed null).  So the verbose payload goes
+    out first on its own BENCH_DETAIL line and the LAST line is this
+    compact summary: headline secs, per-query timings, pipeline
+    steady-state, scaling efficiency — no rounds array, no steady_all.
+    """
+    out = {k: v for k, v in result.items() if k not in ("pipeline", "scaling")}
+    pipe = dict(result.get("pipeline") or {})
+    pipe.pop("steady_all", None)
+    out["pipeline"] = pipe
+    sc = result.get("scaling") or {}
+    comp: dict = {}
+    for k in ("local[8]", "local[32]"):
+        if isinstance(sc.get(k), dict):
+            comp[k] = {
+                kk: sc[k][kk]
+                for kk in ("rows", "steady_sec", "turns_per_sec", "cpus")
+                if kk in sc[k]
+            }
+    for k in ("efficiency", "measured_at", "cached"):
+        if k in sc:
+            comp[k] = sc[k]
+    out["scaling"] = comp
+    return out
+
+
 def _emit(partial: bool = False) -> None:
     global _PRINTED
     if _PRINTED:
@@ -80,7 +110,8 @@ def _emit(partial: bool = False) -> None:
     _PRINTED = True
     if partial:
         RESULT["partial"] = True
-    print(json.dumps(RESULT), flush=True)
+    print("BENCH_DETAIL " + json.dumps(RESULT), flush=True)
+    print(json.dumps(_compact(RESULT)), flush=True)
 
 
 def _on_signal(signum, frame):  # noqa: ARG001
@@ -110,18 +141,34 @@ def _pipeline_bench(spark, budget: _Budget | None = None) -> dict:
 
     src = spark.read.parquet(str(ensure_transcripts("bench")))
     verdicts = run_pipeline(spark, src)
+    cached = getattr(verdicts, "_fineweb_persisted", [])
 
     # noop sink: materializes EVERY column. A bare count() lets Catalyst
     # prune the dedup window + its exchange out of the physical plan
     # (row_number changes no cardinality and count reads no columns), so it
     # under-measures the pipeline; the noop write runs the full plan.
+    #
+    # slim_dedup persists the scored intermediate so its two consumers share
+    # one model-UDF execution; each timed rep must pay that materialization,
+    # so the cache is dropped AFTER the rep (outside the timer) and
+    # re-marked before the next one — same DataFrame objects, so codegen
+    # stays warm across reps.
     def run_once():
+        from pyspark.storagelevel import StorageLevel
+
+        for df in cached:
+            df.persist(StorageLevel.MEMORY_AND_DISK)
         verdicts.write.format("noop").mode("overwrite").save()
+
+    def drop_caches():
+        for df in cached:
+            df.unpersist(blocking=True)
 
     rows = src.count()
     t0 = time.time()
     run_once()
     cold = time.time() - t0
+    drop_caches()
     # min-of-N steady-state: this sandbox is a Firecracker/KVM microVM with
     # invisible noisy-neighbor host contention (observed 4x run-to-run
     # swings); min-of-N is the standard de-noising for such hosts
@@ -132,6 +179,7 @@ def _pipeline_bench(spark, budget: _Budget | None = None) -> dict:
         t0 = time.time()
         run_once()
         steadies.append(time.time() - t0)
+        drop_caches()
     steady = min(steadies) if steadies else cold
     return {
         "rows": rows,

@@ -130,7 +130,16 @@ def run_with_lineage(
     pending_src = transcripts.filter(bucket_of(F.col("conv_id")).isin(pending_all))
     committed_df = read_committed_output(spark, out)
     registry = committed_df.select("norm_key") if committed_df is not None else None
-    verdicts = run_pipeline(spark, pending_src, exclude_keys=registry, include_norm_key=True)
+    # slim_dedup=False: this path persists kept_all (full payload) right
+    # below anyway, so a second cached intermediate inside the dedup would
+    # only double the storage footprint of the run.
+    verdicts = run_pipeline(
+        spark,
+        pending_src,
+        exclude_keys=registry,
+        include_norm_key=True,
+        slim_dedup=False,
+    )
     kept_all = (
         pending_src.join(
             verdicts.select(

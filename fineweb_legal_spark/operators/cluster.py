@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, algorithm: str = "auto"
 ) -> DataFrame:
     """Resolve (id_a, id_b) near-dup pairs into clusters.
 
@@ -42,20 +42,48 @@ def connected_components(
     cluster_id is the minimum id reachable through the pair graph —
     deterministic, so the canonical "keep" doc per cluster is stable across
     runs and partitionings.
+
+    ``algorithm``:
+    - "hashmin": label propagation, rounds = graph diameter. Right for
+      near-dup graphs (LSH clusters are cliques-ish, diameter 2-4); raises
+      on non-convergence within ``max_iter``.
+    - "star": large-star/small-star alternation (Kiveris et al., "Connected
+      Components in MapReduce and Beyond") — O(log^2 n) rounds regardless
+      of diameter; the adversarial-chain escape hatch for 100-TB graphs.
+    - "auto" (default): hashmin first; on round-budget exhaustion, falls
+      back to star instead of raising.
     """
-    sym = (
+    if algorithm not in ("auto", "hashmin", "star"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm in ("auto", "hashmin"):
+        try:
+            return _cc_hashmin(pairs, max_iter)
+        except RuntimeError:
+            if algorithm == "hashmin":
+                raise
+    return _cc_star(pairs, max_iter)
+
+
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    return (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
-        # materialize once: every propagation round joins against sym, and
-        # without this the symmetrize-union + distinct shuffle would
+        # materialize once: every propagation round joins against this, and
+        # without it the symmetrize-union + distinct shuffle would
         # re-execute per round
         .localCheckpoint(eager=True)
     )
+
+
+def _cc_hashmin(pairs: DataFrame, max_iter: int) -> DataFrame:
+    sym = _symmetrize(pairs)
     labels = (
-        sym.select(F.col("src").alias("id"))
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
         .withColumn("lbl", F.col("id"))
         .localCheckpoint(eager=True)
@@ -90,6 +118,78 @@ def connected_components(
             "large-star/small-star)"
         )
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round over a symmetric edge list.
+
+    Per node u with neighborhood N(u) and m = min(N(u) ∪ {u}):
+    - large-star connects every neighbor v > u to m
+    - small-star connects every neighbor v <= u (plus u itself) to m
+    Both are a per-node min-aggregate joined back to the edges — one
+    shuffle + one broadcast-or-shuffle join per round, no driver state.
+    """
+    mins = edges.groupBy("src").agg(F.min("dst").alias("_mn"))
+    m = F.least(F.col("src"), F.col("_mn")).alias("_m")
+    j = edges.join(mins, "src").select("src", "dst", m)
+    keep = F.col("dst") > F.col("src") if large else F.col("dst") <= F.col("src")
+    out = j.filter(keep).select(F.col("dst").alias("src"), F.col("_m").alias("dst"))
+    if not large:
+        # small-star also re-links u itself to m
+        out = out.unionByName(
+            j.select(F.col("src"), F.col("_m").alias("dst")).distinct()
+        )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def _cc_star(pairs: DataFrame, max_iter: int) -> DataFrame:
+    """Large-star/small-star alternation: O(log^2 n) rounds on ANY graph
+    shape (adversarial chains included), at the price of two shuffled
+    rounds per iteration. Terminates when an iteration leaves the edge set
+    unchanged; at that point edges form stars rooted at component minima."""
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = _symmetrize(pairs)
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        # one full large+small alternation, then symmetric closure for the
+        # next round's neighborhoods
+        e1 = _star_round(edges, large=True)
+        e2 = _star_round(e1, large=False)
+        new = (
+            e2.unionByName(
+                e2.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        new_n = new.count()
+        if new_n == n_edges:
+            delta = new.exceptAll(edges).limit(1).count()
+            if delta == 0:
+                edges = new
+                break
+        edges, n_edges = new, new_n
+    else:
+        raise RuntimeError(
+            f"connected_components(star) did not stabilize in {max_iter} "
+            "alternations"
+        )
+    # stars: every non-root points at its component min; roots label
+    # themselves. min over dst per src guards the (src>dst symmetric copy).
+    lbl = (
+        edges.filter(F.col("dst") < F.col("src"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("cluster_id"))
+        .select(F.col("src").alias("id"), "cluster_id")
+    )
+    return nodes.join(lbl, "id", "left").select(
+        "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+    )
 
 
 def dedup_cluster_summary(cc: DataFrame) -> DataFrame:

@@ -276,6 +276,7 @@ def run_pipeline(
     transcripts: DataFrame,
     exclude_keys: DataFrame | None = None,
     include_norm_key: bool = False,
+    slim_dedup: bool = True,
 ) -> DataFrame:
     """Full verdict frame: (conv_id, turn_idx, keep, reject_reason,
     scrubbed_text, lang, ppl_bucket) — the golden_verdicts schema.
@@ -287,7 +288,33 @@ def run_pipeline(
     registry this reproduces the uninterrupted global dedup exactly.
     ``include_norm_key`` keeps the hash column in the output (the lineage
     writer persists it so later runs can rebuild the registry from
-    committed data alone)."""
+    committed data alone).
+
+    ``slim_dedup`` picks the dedup physical strategy:
+
+    - True (default): the scored frame is persisted once per execution and
+      the dedup EXCHANGE carries only (norm_key, conv_id, turn_idx) —
+      ~40 bytes/row instead of the scrubbed text of every kept candidate
+      (~156 MB -> ~20 MB shuffle write at 2M turns). Losing rows (second+
+      occurrence of a norm_key) come back as a broadcast hash-join on
+      (conv_id, turn_idx). Scale notes: the loser set is bounded by the
+      corpus duplicate count; for web corpora with modest near-exact dup
+      rates (the fineweb-legal regime: single-digit %) it broadcasts fine.
+      At 10^12 turns with a high dup rate, swap the broadcast for a shuffle
+      join against the Iceberg table bucketed by conv_id (storage-
+      partitioned join, decisions-side-only exchange), or fall back to
+      slim_dedup=False. The persist stands in for what a production run
+      gets for free: the lineage path already materializes the scored
+      output per partition before committing.
+    - False: classic single-dataflow window — one exchange hash-partitioned
+      on the norm key carrying all verdict columns (the kept corpus crosses
+      the wire once). Preferable when the duplicate rate is unbounded or
+      executor storage for the persist is not available.
+
+    The returned DataFrame exposes ``_fineweb_persisted`` (list of
+    intermediate frames persisted by slim_dedup) so benchmark harnesses can
+    unpersist/re-persist between steady-state repetitions; normal callers
+    can ignore it (the cache is dropped with the session)."""
     conv = conversation_stats(transcripts)
     feats = heuristic_features(transcripts.select("conv_id", "turn_idx", "text"))
     # conv is 1 row per conversation — orders of magnitude smaller than the
@@ -329,24 +356,44 @@ def run_pipeline(
         scored = scored.withColumn("_committed", F.lit(None).cast("boolean"))
 
     # dedup: deterministic "first" = min (conv_id, turn_idx) per norm_key.
-    # Rows without a hash (rejects) get a synthetic singleton key so one
-    # window covers everything without funneling all null keys into a
-    # single partition (serial-sort skew) and without branching the plan.
-    wkey = F.coalesce(
-        F.col("norm_key"), F.concat(F.lit("\x00"), "conv_id", F.lit("#"), "turn_idx")
-    )
-    w = Window.partitionBy(wkey).orderBy("conv_id", "turn_idx")
-    deduped = scored.withColumn(
+    persisted: list[DataFrame] = []
+    if slim_dedup:
+        # Slim-exchange strategy: persist scored once (both consumers below
+        # read the cache, so the model UDF runs exactly once), window over
+        # the three key columns only, and bring the loser decisions back as
+        # a broadcast join — the dedup exchange never carries text.
+        from pyspark.storagelevel import StorageLevel
+
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        persisted.append(scored)
+        w = Window.partitionBy("norm_key").orderBy("conv_id", "turn_idx")
+        losers = (
+            scored.filter(F.col("norm_key").isNotNull())
+            .select("norm_key", "conv_id", "turn_idx")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("conv_id", "turn_idx", F.lit(True).alias("_dup"))
+        )
+        deduped = scored.join(F.broadcast(losers), ["conv_id", "turn_idx"], "left")
+        dup_flag = F.col("_committed") | F.coalesce(F.col("_dup"), F.lit(False))
+    else:
+        # Classic single-dataflow window. Rows without a hash (rejects) get
+        # a synthetic singleton key so one window covers everything without
+        # funneling all null keys into a single partition (serial-sort
+        # skew) and without branching the plan.
+        wkey = F.coalesce(
+            F.col("norm_key"),
+            F.concat(F.lit("\x00"), "conv_id", F.lit("#"), "turn_idx"),
+        )
+        w = Window.partitionBy(wkey).orderBy("conv_id", "turn_idx")
+        deduped = scored
+        dup_flag = F.col("_committed") | (F.row_number().over(w) > 1)
+    deduped = deduped.withColumn(
         "reject_reason",
-        F.coalesce(
-            F.col("reason0"),
-            F.when(
-                F.col("_committed") | (F.row_number().over(w) > 1), F.lit("duplicate")
-            ),
-        ),
+        F.coalesce(F.col("reason0"), F.when(dup_flag, F.lit("duplicate"))),
     )
     extra = ["norm_key"] if include_norm_key else []
-    return deduped.select(
+    out = deduped.select(
         "conv_id",
         "turn_idx",
         F.col("reject_reason").isNull().alias("keep"),
@@ -358,6 +405,8 @@ def run_pipeline(
         "ppl_bucket",
         *extra,
     )
+    out._fineweb_persisted = persisted  # noqa: SLF001 — bench unpersist hook
+    return out
 
 
 def filtered_output(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
