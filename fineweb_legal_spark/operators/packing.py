@@ -9,13 +9,24 @@ running remainder, so no window/cumsum expresses it) — the (b) rung of
 the custom-operator ladder: an Arrow-batched grouped-map UDF, one group
 per conversation.
 
-Scale shape: one shuffle (groupBy conv_id), then per-group work linear in
-the conversation's turn count with no cross-group coordination. A
-pathological 10^8-turn conversation would pin its task; the mitigation is
-hierarchical: pre-split such conversations on fixed cumsum boundaries
-(window arithmetic, parallel), pack each span, then merge only the
-boundary chunks — same greedy result, bounded task size. Not implemented
-here because real transcripts cap at ~10^3 turns.
+Scale shape: one shuffle (groupBy conv_id), then per-group work with no
+cross-group coordination. Two defenses against a pathological 10^8-turn
+conversation pinning its task:
+
+1. The greedy kernel is per-CHUNK, not per-turn: each chunk boundary is
+   one ``np.searchsorted`` into the token cumsum (the maximal prefix with
+   sum <= budget IS the greedy chunk), so task time is
+   O(n for the cumsum + chunks * log n) — a 100k-turn conversation packs
+   in milliseconds (asserted in tests).
+2. ``span_turns`` pre-splits giant conversations into fixed-length turn
+   spans that pack as independent parallel groups, for the regime where
+   even the slim (conv_id, turn_idx, tok) rows of ONE conversation
+   overflow a single Arrow group (~10^8 turns). Chunks then never span a
+   span boundary — deliberately weaker than global greedy (an exact
+   cross-span greedy would need per-span state-function composition,
+   which buys nothing until conversations outgrow executor memory);
+   chunk_idx stays globally sequential per conversation via a per-span
+   chunk-count prefix sum.
 
 The correctness oracle is a DuckDB *recursive CTE* carrying
 (running-total, chunk-index) across row_number order — an independent
@@ -27,7 +38,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -45,33 +56,39 @@ _PACK_SCHEMA = T.StructType(
 
 def _pack_group(budget: int):
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values("turn_idx")
-        chunks: list[tuple] = []
-        acc = 0
-        chunk = 0
-        n = 0
-        first = None
-        last = None
-        for turn, w in zip(pdf["turn_idx"], pdf["tok"]):
-            if n > 0 and acc + w > budget:
-                chunks.append((pdf["conv_id"].iloc[0], chunk, n, acc, first, last))
-                chunk += 1
-                acc = 0
-                n = 0
-                first = None
-            acc += int(w)
-            n += 1
-            last = int(turn)
-            if first is None:
-                first = int(turn)
-        if n > 0:
-            chunks.append((pdf["conv_id"].iloc[0], chunk, n, acc, first, last))
+        turns = pdf["turn_idx"].to_numpy()
+        cum = pdf["tok"].to_numpy(dtype="int64").cumsum()
+        n = len(cum)
+        # greedy chunk = maximal prefix with sum <= budget (an oversized
+        # single turn becomes a singleton chunk): per-chunk searchsorted on
+        # the cumsum, identical boundaries to the per-turn greedy scan but
+        # O(chunks * log n) instead of O(n) Python iterations
+        starts: list[int] = []
+        ends: list[int] = []
+        i = 0
+        while i < n:
+            base = cum[i - 1] if i > 0 else 0
+            j = int(np.searchsorted(cum, base + budget, side="right")) - 1
+            if j < i:
+                j = i
+            starts.append(i)
+            ends.append(j)
+            i = j + 1
+        s = np.array(starts, dtype="int64")
+        e = np.array(ends, dtype="int64")
+        base = np.where(s > 0, cum[s - 1], 0)
         return pd.DataFrame(
-            chunks,
-            columns=[
-                "conv_id", "chunk_idx", "n_turns", "tokens",
-                "first_turn", "last_turn",
-            ],
+            {
+                "conv_id": pdf["conv_id"].iloc[0],
+                "chunk_idx": np.arange(len(s), dtype="int32"),
+                "n_turns": e - s + 1,
+                "tokens": cum[e] - base,
+                "first_turn": turns[s].astype("int32"),
+                "last_turn": turns[e].astype("int32"),
+            }
         )
 
     return fn
@@ -83,11 +100,17 @@ def pack_turns(
     conv_col: str = "conv_id",
     turn_col: str = "turn_idx",
     text_col: str = "text",
+    span_turns: int | None = None,
 ) -> DataFrame:
     """Pack each conversation's turns (ordered by `turn_col`) into chunks
     of estimated-token sum <= budget (reference token estimate F16:
     max(1, len//4)); oversized single turns become singleton chunks.
-    Returns one row per chunk with turn range and totals."""
+    Returns one row per chunk with turn range and totals.
+
+    ``span_turns`` (None = exact global greedy, the default): pre-split
+    every conversation into fixed ``span_turns``-length spans packed as
+    independent parallel tasks — the giant-conversation escape hatch (see
+    module doc for the semantics trade)."""
     toks = df.select(
         F.col(conv_col).alias("conv_id"),
         F.col(turn_col).cast("int").alias("turn_idx"),
@@ -95,6 +118,58 @@ def pack_turns(
         .cast("long")
         .alias("tok"),
     )
-    return toks.groupBy("conv_id").applyInPandas(
-        _pack_group(budget), schema=_PACK_SCHEMA
+    if span_turns is None:
+        return toks.groupBy("conv_id").applyInPandas(
+            _pack_group(budget), schema=_PACK_SCHEMA
+        )
+    # pre-split on fixed turn_idx ranges — NOT a row_number window, which
+    # would itself sort the whole giant conversation in one task (the
+    # exact skew being escaped). Sparse turn_idx just yields smaller
+    # spans, never larger. Pack each (conv, span) group in parallel, then
+    # shift each span's local chunk_idx by the running chunk count of
+    # earlier spans — a prefix-sum window over the tiny per-span counts,
+    # never over the turns.
+    spanned = toks.withColumn(
+        "_span", F.floor(F.col("turn_idx") / F.lit(span_turns)).cast("long")
     )
+    packed = spanned.groupBy("conv_id", "_span").applyInPandas(
+        _pack_span_group(budget), schema=_PACK_SPAN_SCHEMA
+    )
+    woff = (
+        Window.partitionBy("conv_id")
+        .orderBy("_span")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    counts = packed.groupBy("conv_id", "_span").agg(
+        F.count(F.lit(1)).alias("_n_chunks")
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n_chunks").over(woff), F.lit(0))
+    ).select("conv_id", "_span", "_off")
+    return (
+        packed.join(F.broadcast(offsets), ["conv_id", "_span"])
+        .select(
+            "conv_id",
+            (F.col("chunk_idx") + F.col("_off")).cast("int").alias("chunk_idx"),
+            "n_turns",
+            "tokens",
+            "first_turn",
+            "last_turn",
+        )
+    )
+
+
+_PACK_SPAN_SCHEMA = T.StructType(
+    [T.StructField("_span", T.LongType()), *_PACK_SCHEMA.fields]
+)
+
+
+def _pack_span_group(budget: int):
+    inner = _pack_group(budget)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = inner(pdf.drop(columns=["_span"]))
+        out.insert(0, "_span", pdf["_span"].iloc[0])
+        return out
+
+    return fn

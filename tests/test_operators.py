@@ -243,16 +243,53 @@ def test_connected_components_raises_on_nonconvergence(spark):
 
     from fineweb_legal_spark.operators.cluster import connected_components
 
-    # a 6-node chain needs 5 propagation rounds; max_iter=2 must raise,
-    # never silently return split clusters
+    # a 6-node chain needs 5 propagation rounds; hashmin with max_iter=2
+    # must raise, never silently return split clusters
     chain = spark.createDataFrame(
         [(f"n{i}", f"n{i+1}") for i in range(5)], ["id_a", "id_b"]
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=2)
+        connected_components(chain, max_iter=2, algorithm="hashmin")
     # and with enough rounds the same chain is one cluster
-    got = connected_components(chain, max_iter=10)
+    got = connected_components(chain, max_iter=10, algorithm="hashmin")
     assert got.select("cluster_id").distinct().count() == 1
+
+
+def test_connected_components_star_long_chain(spark):
+    # adversarial diameter: a 26-node chain (diameter 25 > default
+    # max_iter=20). hashmin alone raises; the star algorithm and the auto
+    # fallback both collapse it to one cluster rooted at the min id.
+    import pytest as _pytest
+
+    from fineweb_legal_spark.operators.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(25)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=20, algorithm="hashmin")
+    for algo in ("star", "auto"):
+        got = connected_components(chain, max_iter=20, algorithm=algo).collect()
+        assert len(got) == 26, algo
+        assert {r["cluster_id"] for r in got} == {"n00"}, algo
+
+
+def test_connected_components_star_matches_hashmin(spark):
+    from fineweb_legal_spark.operators.cluster import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("q", "p"), ("q", "r")],
+        ["id_a", "id_b"],
+    )
+    hm = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs, algorithm="hashmin").collect()
+    }
+    st = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert hm == st
 
 
 def test_pack_turns_greedy_boundaries(spark):
@@ -271,3 +308,66 @@ def test_pack_turns_greedy_boundaries(spark):
         for r in pack_turns(df, budget=25).collect()
     }
     assert got == {0: (2, 20, 0, 1), 1: (1, 100, 2, 2), 2: (1, 10, 3, 3)}
+
+
+def test_pack_kernel_is_per_chunk_not_per_turn():
+    # the greedy kernel must stay fast on a pathological conversation:
+    # 100k turns pack via per-chunk searchsorted (O(chunks log n)), not a
+    # per-turn Python loop. Pure-pandas call, no Spark — this bounds the
+    # per-task cost directly.
+    import time
+
+    import numpy as np
+    import pandas as pd
+
+    from fineweb_legal_spark.operators.packing import _pack_group
+
+    n = 100_000
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {
+            "conv_id": "giant",
+            "turn_idx": np.arange(n, dtype="int32"),
+            "tok": rng.randint(1, 60, size=n).astype("int64"),
+        }
+    )
+    t0 = time.time()
+    out = _pack_group(budget=512)(pdf)
+    el = time.time() - t0
+    assert el < 2.0, f"pack kernel took {el:.2f}s on 100k turns"
+    # invariants: contiguous cover, budget respected (oversize impossible
+    # here: max tok 59 < 512), chunks maximal (adding the next turn would
+    # overflow)
+    assert out["n_turns"].sum() == n
+    assert (out["tokens"] <= 512).all()
+    assert (out["first_turn"].iloc[1:].to_numpy()
+            == out["last_turn"].iloc[:-1].to_numpy() + 1).all()
+    toks = pdf["tok"].to_numpy()
+    nxt = out["last_turn"].to_numpy()[:-1] + 1
+    assert ((out["tokens"].to_numpy()[:-1] + toks[nxt]) > 512).all()
+
+
+def test_pack_span_presplit_bounded_and_renumbered(spark):
+    from fineweb_legal_spark.operators.packing import pack_turns
+
+    # 2000-turn conversation, span_turns=500 -> 4 independent span tasks.
+    rows = [("c", i, "x" * 40) for i in range(2000)]  # 10 tokens each
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "text"])
+    got = (
+        pack_turns(df, budget=95, span_turns=500)
+        .orderBy("chunk_idx")
+        .toPandas()
+    )
+    # budget 95 / 10-token turns -> 9 turns per chunk; 500 % 9 != 0 so the
+    # span boundary forces a short 5-turn chunk at each span edge —
+    # the documented span-mode semantic (chunks never cross a span)
+    assert got["n_turns"].sum() == 2000
+    assert (got["tokens"] <= 95).all()
+    assert list(got["chunk_idx"]) == list(range(len(got)))  # global renumber
+    assert (got["first_turn"].iloc[1:].to_numpy()
+            == got["last_turn"].iloc[:-1].to_numpy() + 1).all()
+    spans = got["first_turn"] // 500
+    assert (spans == got["last_turn"] // 500).all()  # no chunk crosses a span
+    # exact mode on the same input: one long run of 9s (global greedy)
+    exact = pack_turns(df, budget=95).toPandas()
+    assert set(exact["n_turns"].iloc[:-1]) == {9}
