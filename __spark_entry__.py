@@ -806,6 +806,36 @@ def q_lsh_ann_topk(spark, sf_dir):
     return lsh_ann_topk(emb, query_ids=list(range(10)), k=5, dim=64)
 
 
+# -- second, larger quantizer configurations ---------------------------------
+# The bucket/cell counts are corpus-scaled parameters (suggest_n_planes /
+# n_cells ≈ sqrt(n)), not constants; these queries prove the operators stay
+# oracle-exact at a second configuration (256 LSH buckets, 64 IVF cells),
+# with the plane/centroid matrices exported per configuration as parquet.
+
+
+def q_embedding_neardup_p8(spark, sf_dir):
+    from fineweb_legal_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, dim=64, threshold=0.4, n_planes=8)
+
+
+def q_lsh_ann_topk_p8(spark, sf_dir):
+    from fineweb_legal_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, query_ids=list(range(10)), k=5, dim=64, n_planes=8)
+
+
+def q_ivf_ann_topk_c64(spark, sf_dir):
+    from fineweb_legal_spark.operators.similarity import ivf_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, query_ids=list(range(10)), k=5, dim=64, nprobe=4, n_cells=64
+    )
+
+
 def q_pack_conversations_t1(spark, sf_dir):
     # Greedy sample packing: turns -> token-budgeted training chunks
     # (operators/packing.py). Inherently sequential per conversation, so
@@ -965,6 +995,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "pq_ann_topk": q_pq_ann_topk,
+        "embedding_neardup_p8": q_embedding_neardup_p8,
+        "lsh_ann_topk_p8": q_lsh_ann_topk_p8,
+        "ivf_ann_topk_c64": q_ivf_ann_topk_c64,
         "pack_conversations_t1": q_pack_conversations_t1,
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frame_sample,
@@ -1430,6 +1463,47 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
+        "ivf_ann_topk_c64": f"""
+            WITH c AS (
+              SELECT cell_idx, weights
+              FROM read_parquet('{ensure_ivf_centroids(64, 64)}')
+            ),
+            sims AS (
+              SELECT e.vec_id, c.cell_idx,
+                     list_cosine_similarity(e.embedding, c.weights) AS s
+              FROM embeddings e, c
+            ),
+            assign AS (
+              SELECT vec_id, CAST(arg_max(cell_idx, s) AS INTEGER) AS cell
+              FROM sims GROUP BY vec_id
+            ),
+            qprobe AS (
+              SELECT vec_id AS query_id, cell_idx AS cell FROM (
+                SELECT vec_id, cell_idx,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell_idx) AS rn
+                FROM sims WHERE vec_id < 10
+              ) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT q.query_id, a.vec_id
+              FROM qprobe q JOIN assign a ON a.cell = q.cell
+              WHERE a.vec_id <> q.query_id
+            ),
+            scored AS (
+              SELECT cd.query_id, cd.vec_id,
+                     round(list_cosine_similarity(v.embedding, qe.embedding), 4)
+                         AS cos_sim
+              FROM cand cd
+              JOIN embeddings v  ON v.vec_id  = cd.vec_id
+              JOIN embeddings qe ON qe.vec_id = cd.query_id
+            )
+            SELECT query_id, vec_id, rank, cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
         # independent oracle: PQ encode + ADC + re-rank replayed in pure
         # SQL from the exported codebook parquet — no shared code with the
         # Spark path. Approx scores rounded to 4 decimals on both sides
@@ -1502,6 +1576,50 @@ def oracle_sql() -> dict[str, str]:
                          AS cos_sim
               FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
             ) WHERE cos_sim >= 0.4
+        """,
+        "embedding_neardup_p8": f"""
+            WITH p AS (
+              SELECT plane_idx, weights
+              FROM read_parquet('{ensure_planes(64, 8)}')
+            ),
+            b AS (
+              SELECT e.vec_id, any_value(e.embedding) AS embedding,
+                     CAST(sum(CASE WHEN list_dot_product(e.embedding, p.weights) > 0
+                          THEN CAST(power(2, p.plane_idx) AS BIGINT)
+                          ELSE 0 END) AS INTEGER) AS bucket
+              FROM embeddings e, p GROUP BY e.vec_id
+            )
+            SELECT id_a, id_b, cos_sim FROM (
+              SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                     round(list_cosine_similarity(a.embedding, c.embedding), 4)
+                         AS cos_sim
+              FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            ) WHERE cos_sim >= 0.4
+        """,
+        "lsh_ann_topk_p8": f"""
+            WITH p AS (
+              SELECT plane_idx, weights
+              FROM read_parquet('{ensure_planes(64, 8)}')
+            ),
+            b AS (
+              SELECT e.vec_id, any_value(e.embedding) AS embedding,
+                     CAST(sum(CASE WHEN list_dot_product(e.embedding, p.weights) > 0
+                          THEN CAST(power(2, p.plane_idx) AS BIGINT)
+                          ELSE 0 END) AS INTEGER) AS bucket
+              FROM embeddings e, p GROUP BY e.vec_id
+            ),
+            cand AS (
+              SELECT q.vec_id AS query_id, v.vec_id,
+                     round(list_cosine_similarity(v.embedding, q.embedding), 4)
+                         AS cos_sim
+              FROM b q JOIN b v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
+              WHERE q.vec_id < 10
+            )
+            SELECT query_id, vec_id, rank, cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM cand
+            ) WHERE rank <= 5
         """,
         "media_meta": f"""
             SELECT media_id, kind,

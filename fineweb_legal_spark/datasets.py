@@ -147,16 +147,19 @@ def ensure_media(tier: str) -> Path:
     return p
 
 
-def ensure_planes(dim: int) -> Path:
+def ensure_planes(dim: int, n_planes: int | None = None) -> Path:
     """Export the LSH hyperplane matrix as parquet so the DuckDB oracle can
-    recompute bucket assignments independently (data, not shared code)."""
-    p = DATA_DIR / "golden" / f"planes_dim{dim}.parquet"
+    recompute bucket assignments independently (data, not shared code).
+    One file per (dim, n_planes) configuration; the default keeps the
+    round-1 name so existing goldens stay addressed."""
+    suffix = "" if n_planes is None else f"_p{n_planes}"
+    p = DATA_DIR / "golden" / f"planes_dim{dim}{suffix}.parquet"
     if not p.exists():
         import pandas as pd
 
-        from .operators.similarity import planes_for
+        from .operators.similarity import N_PLANES, planes_for
 
-        mat = planes_for(dim)
+        mat = planes_for(dim, n_planes if n_planes is not None else N_PLANES)
         df = pd.DataFrame(
             {
                 "plane_idx": list(range(mat.shape[0])),
@@ -167,16 +170,18 @@ def ensure_planes(dim: int) -> Path:
     return p
 
 
-def ensure_ivf_centroids(dim: int) -> Path:
+def ensure_ivf_centroids(dim: int, n_cells: int | None = None) -> Path:
     """Export the IVF coarse-quantizer centroids as parquet so the DuckDB
-    oracle can recompute cell assignment + probing independently."""
-    p = DATA_DIR / "golden" / f"ivf_centroids_dim{dim}.parquet"
+    oracle can recompute cell assignment + probing independently. One file
+    per (dim, n_cells) configuration."""
+    suffix = "" if n_cells is None else f"_c{n_cells}"
+    p = DATA_DIR / "golden" / f"ivf_centroids_dim{dim}{suffix}.parquet"
     if not p.exists():
         import pandas as pd
 
-        from .operators.similarity import ivf_centroids
+        from .operators.similarity import N_IVF_CELLS, ivf_centroids
 
-        mat = ivf_centroids(dim)
+        mat = ivf_centroids(dim, n_cells if n_cells is not None else N_IVF_CELLS)
         df = pd.DataFrame(
             {
                 "cell_idx": list(range(mat.shape[0])),

@@ -18,12 +18,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-N_PLANES = 6  # 64 buckets: ~n/64 candidates per query at test scale
+N_PLANES = 6  # default: 64 buckets — right for the small test corpora
 _PLANE_SEED = 11
 
 
-def planes_for(dim: int) -> np.ndarray:
-    return np.random.RandomState(_PLANE_SEED).randn(N_PLANES, dim)
+def planes_for(dim: int, n_planes: int = N_PLANES) -> np.ndarray:
+    """Seeded hyperplane matrix. The first N rows are identical for any two
+    configurations sharing a seed (rows are drawn plane-by-plane), so
+    goldens built at one n_planes stay valid when another is added."""
+    rs = np.random.RandomState(_PLANE_SEED)
+    return np.stack([rs.randn(dim) for _ in range(n_planes)])
+
+
+def suggest_n_planes(n_rows: int, target_bucket_size: int = 1024) -> int:
+    """Bucket count must GROW with the corpus or in-bucket work is
+    O(n^2 / 2^planes) — quadratic again at scale. log2(n / target) keeps
+    expected bucket occupancy ~target_bucket_size regardless of n (10^9
+    rows, target 1024 -> 20 planes / 1M buckets)."""
+    import math
+
+    if n_rows <= target_bucket_size:
+        return 1
+    return max(1, math.ceil(math.log2(n_rows / target_bucket_size)))
 
 
 @F.pandas_udf(T.DoubleType())
@@ -53,23 +69,24 @@ _BUCKET_SCHEMA = T.StructType(
 )
 
 
-def _bucketize_fn(dim: int):
+def _bucketize_fn(dim: int, n_planes: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        planes = planes_for(dim)
+        planes = planes_for(dim, n_planes)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
         for pdf in batches:
             mat = np.stack(pdf["embedding"].to_numpy())
             bits = (mat @ planes.T) > 0  # (n, planes)
-            weights = (1 << np.arange(N_PLANES)).astype(np.int64)
             buckets = (bits @ weights).astype(np.int32)
             yield pd.DataFrame({"vec_id": pdf["vec_id"], "bucket": buckets})
 
     return fn
 
 
-def lsh_buckets(df: DataFrame, dim: int) -> DataFrame:
-    """(vec_id, bucket) for an (vec_id, embedding) table."""
+def lsh_buckets(df: DataFrame, dim: int, n_planes: int = N_PLANES) -> DataFrame:
+    """(vec_id, bucket) for an (vec_id, embedding) table. Size n_planes
+    with suggest_n_planes(corpus_rows) so buckets scale with the corpus."""
     return df.select("vec_id", "embedding").mapInPandas(
-        _bucketize_fn(dim), schema=_BUCKET_SCHEMA
+        _bucketize_fn(dim, n_planes), schema=_BUCKET_SCHEMA
     )
 
 
@@ -77,13 +94,56 @@ N_IVF_CELLS = 16
 _IVF_SEED = 7
 
 
-def ivf_centroids(dim: int) -> np.ndarray:
+def ivf_centroids(dim: int, n_cells: int = N_IVF_CELLS) -> np.ndarray:
     """Deterministic coarse quantizer: seeded gaussian directions,
-    L2-normalized (for cosine search, cells = nearest direction). A real
-    deployment would k-means a sample; a fixed seeded quantizer keeps the
-    operator reproducible with zero training passes."""
-    c = np.random.RandomState(_IVF_SEED).randn(N_IVF_CELLS, dim)
+    L2-normalized (for cosine search, cells = nearest direction). Like
+    planes_for, drawn row-by-row so centroid i is identical across
+    configurations. Cell count must scale with the corpus: each query
+    scans ~nprobe/n_cells of all rows, so a fixed n_cells pins the scan
+    fraction no matter how large n grows (classic sizing:
+    n_cells ≈ sqrt(n)). For data-adapted cells use
+    train_ivf_centroids."""
+    rs = np.random.RandomState(_IVF_SEED)
+    c = np.stack([rs.randn(dim) for _ in range(n_cells)])
     return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    dim: int,
+    n_cells: int,
+    sample_n: int = 4096,
+    iters: int = 10,
+    seed: int = _IVF_SEED,
+) -> np.ndarray:
+    """Spherical k-means on a deterministic hash-sample of the corpus —
+    the data-adapted quantizer for skewed real embeddings (seeded-gaussian
+    cells leave hot cells when the data is clustered). The sample is tiny
+    (n_cells*constant), so training is one scan + a driver-side numpy
+    loop; the result is broadcast back into ivf_assign/ivf_ann_topk via
+    their ``centroids`` argument, and exported to parquet for the oracle
+    by datasets.ensure_ivf_centroids."""
+    sample = (
+        df.select("vec_id", "embedding")
+        .orderBy(F.xxhash64(F.col("vec_id") + F.lit(seed)))
+        .limit(sample_n)
+        .toPandas()
+    )
+    mat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    cents = ivf_centroids(dim, n_cells)  # seeded init
+    for _ in range(iters):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(n_cells):
+            sel = mat[assign == c]
+            if len(sel):
+                v = sel.sum(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
 
 
 _CELL_SCHEMA = T.StructType(
@@ -94,11 +154,18 @@ _CELL_SCHEMA = T.StructType(
 )
 
 
-def ivf_assign(df: DataFrame, dim: int) -> DataFrame:
-    """(vec_id, cell): nearest-centroid assignment, one matmul per batch."""
+def ivf_assign(
+    df: DataFrame,
+    dim: int,
+    n_cells: int = N_IVF_CELLS,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """(vec_id, cell): nearest-centroid assignment, one matmul per batch.
+    ``centroids`` (e.g. from train_ivf_centroids) overrides the seeded
+    quantizer; the small (n_cells, dim) array ships in the task closure."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents = ivf_centroids(dim)
+        cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
         for pdf in batches:
             mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -115,7 +182,13 @@ def ivf_assign(df: DataFrame, dim: int) -> DataFrame:
 
 
 def ivf_ann_topk(
-    df: DataFrame, query_ids: list[int], k: int, dim: int, nprobe: int = 4
+    df: DataFrame,
+    query_ids: list[int],
+    k: int,
+    dim: int,
+    nprobe: int = 4,
+    n_cells: int = N_IVF_CELLS,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF top-k cosine neighbors: inverted-file coarse quantizer + exact
     re-rank inside the nprobe nearest cells of each query.
@@ -123,14 +196,19 @@ def ivf_ann_topk(
     Scale path: the vector table is partitioned by cell (an equi-join on
     the cell id — at warehouse scale, a table bucketed by cell turns this
     into a storage-partitioned join); queries fan out to nprobe cells, so
-    the scanned fraction is ~nprobe/N_IVF_CELLS of the corpus, never
-    all-pairs. Re-rank is one numpy matmul per Arrow batch (cosine_sim).
+    the scanned fraction is ~nprobe/n_cells of the corpus, never
+    all-pairs. Size n_cells with the corpus (≈ sqrt(n)) — a fixed cell
+    count pins the scanned fraction forever — and pass
+    train_ivf_centroids output as ``centroids`` for skewed data. Re-rank
+    is one numpy matmul per Arrow batch (cosine_sim).
     """
-    assigned = df.select("vec_id", "embedding").join(ivf_assign(df, dim), "vec_id")
+    assigned = df.select("vec_id", "embedding").join(
+        ivf_assign(df, dim, n_cells, centroids), "vec_id"
+    )
 
     # query -> its nprobe nearest cells (small: len(query_ids) x nprobe)
     def qcells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cents = ivf_centroids(dim)
+        cents = centroids if centroids is not None else ivf_centroids(dim, n_cells)
         for pdf in batches:
             mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -176,7 +254,7 @@ def ivf_ann_topk(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, dim: int, threshold: float = 0.9
+    df: DataFrame, dim: int, threshold: float = 0.9, n_planes: int = N_PLANES
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a < id_b, cos_sim) for
     pairs landing in the same random-hyperplane LSH bucket with cosine
@@ -191,8 +269,15 @@ def embedding_neardup_pairs(
 
     Reference analog: the text-hash dedup registry (storage.py:81-150)
     generalized to embedding space.
+
+    ``n_planes`` must scale with the corpus (suggest_n_planes): in-bucket
+    candidate pairs are ~n^2 / 2^n_planes, so a FIXED bucket count is
+    quadratic again at 100 TB. Multi-probe (querying neighboring bucket
+    codes) is the standard recall lever when raising n_planes; recall
+    across bucket boundaries stays part of the operator contract either
+    way.
     """
-    b = lsh_buckets(df, dim)
+    b = lsh_buckets(df, dim, n_planes)
     vecs = df.select("vec_id", "embedding").join(b, "vec_id")
     left = vecs.select(
         F.col("vec_id").alias("id_a"),
@@ -211,10 +296,18 @@ def embedding_neardup_pairs(
     return scored.filter(F.col("cos_sim") >= threshold)
 
 
-def lsh_ann_topk(df: DataFrame, query_ids: list[int], k: int, dim: int) -> DataFrame:
+def lsh_ann_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    k: int,
+    dim: int,
+    n_planes: int = N_PLANES,
+) -> DataFrame:
     """Top-k cosine neighbors per query vector, searched within the query's
-    LSH bucket only (returns (query_id, vec_id, rank, cos_sim))."""
-    b = lsh_buckets(df, dim)
+    LSH bucket only (returns (query_id, vec_id, rank, cos_sim)). Candidate
+    pruning is 2^n_planes-fold — size n_planes to the corpus
+    (suggest_n_planes), probing more buckets for recall where needed."""
+    b = lsh_buckets(df, dim, n_planes)
     vecs = df.select("vec_id", "embedding").join(b, "vec_id")
     q = (
         vecs.filter(F.col("vec_id").isin(query_ids))
@@ -284,26 +377,57 @@ def pq_encode(df: DataFrame, dim: int) -> DataFrame:
     return df.select("vec_id", "embedding").mapInPandas(fn, schema=_CODES_SCHEMA)
 
 
-def _adc_score(dim: int):
-    @F.pandas_udf(T.DoubleType())
-    def adc(codes: pd.Series, q_emb: pd.Series) -> pd.Series:
+_ADC_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+    ]
+)
+
+
+def _adc_scan_fn(dim: int, q_ids: np.ndarray, q_mat: np.ndarray, shortlist: int):
+    """ADC scan with per-batch shortlist truncation: each Arrow batch of
+    codes is scored against every query LUT and emits only its local
+    top-``shortlist`` rows per query (same (s desc, vec_id asc) order as
+    the global cut, so the merge of local top-s provably contains the
+    global top-s). The exchange above this carries
+    O(batches × shortlist × queries) rows — the former global row_number
+    window shuffled ALL n×q approximate scores, defeating the point of a
+    compressed scan."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cb = pq_codebooks(dim)
         dsub = dim // N_PQ_SUB
-        C = np.stack(codes.to_numpy()).astype(np.int64)  # (n, M)
-        Q = np.stack(q_emb.to_numpy()).astype(np.float64)  # (n, dim)
-        # one LUT per distinct query in the batch (queries are few)
-        out = np.zeros(len(C))
-        qkeys, inv = np.unique(Q, axis=0, return_inverse=True)
-        for qi in range(len(qkeys)):
-            q = qkeys[qi]
-            lut = np.empty((N_PQ_SUB, N_PQ_CODES))
+        nq = len(q_ids)
+        luts = np.empty((nq, N_PQ_SUB, N_PQ_CODES))
+        for qi in range(nq):
             for m in range(N_PQ_SUB):
-                lut[m] = cb[m] @ q[m * dsub : (m + 1) * dsub]
-            rows = np.where(inv == qi)[0]
-            out[rows] = lut[np.arange(N_PQ_SUB), C[rows]].sum(axis=1)
-        return pd.Series(out)
+                luts[qi, m] = cb[m] @ q_mat[qi, m * dsub : (m + 1) * dsub]
+        for pdf in batches:
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # (n, M)
+            ids = pdf["vec_id"].to_numpy().astype(np.int64)
+            s = np.zeros((nq, len(C)))
+            for m in range(N_PQ_SUB):
+                s += luts[:, m, :][:, C[:, m]]
+            s = np.round(s, 4)  # deterministic cut: fp-sum association varies
+            out_q, out_v, out_s = [], [], []
+            for qi in range(nq):
+                mask = ids != q_ids[qi]
+                vid, sv = ids[mask], s[qi][mask]
+                order = np.lexsort((vid, -sv))[:shortlist]
+                out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+                out_v.append(vid[order])
+                out_s.append(sv[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_v),
+                    "s": np.concatenate(out_s),
+                }
+            )
 
-    return adc
+    return fn
 
 
 def pq_ann_topk(
@@ -316,23 +440,35 @@ def pq_ann_topk(
     Scale shape: unlike LSH/IVF (which prune the corpus), PQ scans ALL
     rows per query — but over the 16x-smaller code column, with the raw
     embedding column never leaving the scan except for the shortlist
-    join. Approx scores are rounded to 4 decimals before the shortlist
-    cut (deterministic across engines; fp-sum association differs),
-    vec_id tiebreak. The DuckDB oracle replays encode + ADC + re-rank in
-    pure SQL from the exported codebook parquet (data, not code).
+    join, and each scan task emitting only its LOCAL top-shortlist per
+    query (see _adc_scan_fn) so the global-cut exchange carries
+    O(tasks × shortlist × queries) rows, never n×q. Approx scores are
+    rounded to 4 decimals before the cut (deterministic across engines;
+    fp-sum association differs), vec_id tiebreak. The DuckDB oracle
+    replays encode + ADC + re-rank in pure SQL from the exported codebook
+    parquet (data, not code).
+
+    Query embeddings are collected at plan-build time (one tiny job —
+    |query_ids| rows) so the LUTs can live in the scan closure.
     """
     codes = pq_encode(df, dim)
+    qpdf = (
+        df.filter(F.col("vec_id").isin(query_ids))
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    q_ids = qpdf["vec_id"].to_numpy().astype(np.int64)
+    q_mat = (
+        np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+        if len(qpdf)
+        else np.zeros((0, dim))
+    )
     q_emb = df.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    approx = (
-        codes.crossJoin(F.broadcast(q_emb))
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(_adc_score(dim)("codes", "q_emb"), 4).alias("s"),
-        )
+    approx = codes.mapInPandas(
+        _adc_scan_fn(dim, q_ids, q_mat, shortlist), schema=_ADC_SCHEMA
     )
     ws = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("vec_id"))
     short = (

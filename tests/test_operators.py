@@ -371,3 +371,49 @@ def test_pack_span_presplit_bounded_and_renumbered(spark):
     # exact mode on the same input: one long run of 9s (global greedy)
     exact = pack_turns(df, budget=95).toPandas()
     assert set(exact["n_turns"].iloc[:-1]) == {9}
+
+
+def test_suggest_n_planes_scales_with_corpus():
+    from fineweb_legal_spark.operators.similarity import suggest_n_planes
+
+    assert suggest_n_planes(1_000, target_bucket_size=1024) == 1
+    assert suggest_n_planes(2**20 * 1024, target_bucket_size=1024) == 20
+    # doubling the corpus adds a plane: occupancy stays ~target
+    assert (
+        suggest_n_planes(2 * 10**9) == suggest_n_planes(10**9) + 1
+    )
+
+
+def test_planes_prefix_stable_across_configs():
+    import numpy as np
+
+    from fineweb_legal_spark.operators.similarity import (
+        ivf_centroids,
+        planes_for,
+    )
+
+    # goldens built at the default config must stay valid when a larger
+    # one is added: row i is identical for every n >= i
+    assert np.array_equal(planes_for(64, 6), planes_for(64, 8)[:6])
+    assert np.array_equal(ivf_centroids(64, 16), ivf_centroids(64, 64)[:16])
+
+
+def test_train_ivf_centroids_improves_quantization(spark):
+    import numpy as np
+
+    from fineweb_legal_spark.operators.similarity import (
+        ivf_centroids,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    trained = train_ivf_centroids(emb, dim=64, n_cells=16, sample_n=1024)
+    assert trained.shape == (16, 64)
+    assert np.allclose(np.linalg.norm(trained, axis=1), 1.0)
+    pdf = emb.limit(2000).toPandas()
+    mat = np.stack(pdf.embedding.to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # spherical k-means objective: mean max-cosine to the nearest centroid
+    seeded_obj = (mat @ ivf_centroids(64, 16).T).max(axis=1).mean()
+    trained_obj = (mat @ trained.T).max(axis=1).mean()
+    assert trained_obj > seeded_obj

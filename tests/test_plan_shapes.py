@@ -131,3 +131,14 @@ def test_slim_dedup_exchange_carries_no_text(spark, t1_transcripts):
             assert m and int(m.group(1)) == 3, block
     assert found, "no norm_key hash exchange in plan"
     assert "BroadcastHashJoin LeftOuter" in plan
+
+
+def test_pq_shortlist_is_local_not_global(spark, queries):
+    # VERDICT r2 item: the PQ shortlist must be truncated inside the scan
+    # (mapInPandas emits per-batch top-s), never a crossJoin of all codes
+    # with all queries feeding a global window. Two MapInPandas nodes:
+    # encode and the ADC shortlist scan; no nested-loop/cartesian join.
+    plan = _plan(queries["pq_ann_topk"](spark, SF_DIR))
+    assert plan.count(") MapInPandas") == 2, plan.count(") MapInPandas")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
