@@ -429,7 +429,12 @@ def q_revenue_by_nation(spark, sf_dir):
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            # exact integer cents (repo convention, cf. hourly_event_counts):
+            # a round(sum(double),2) can flip on a near-half-cent sum because
+            # fp summation order differs across engines/partitionings
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "revenue_cents"
+            ),
             F.count(F.lit(1)).alias("orders"),
         )
         .orderBy("n_name")
@@ -941,13 +946,21 @@ def q_split_counts_docs(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is the driver's sweep order, and the driver's sweep
+    has a time budget (round 2 covered only the first 50 entries). Order:
+    (1) the flagship pipeline group — most expensive single build (cold
+    codegen + session cache), but its three siblings then cost ~1s each;
+    (2) everything cheap, ascending by measured cost, so a budget cut
+    loses the fewest rows; (3) the heavier tails grouped by shared session
+    cache (embedding family, t1 near-dup family, media, web filter,
+    validate)."""
     return {
+        # flagship pipeline (shared session cache)
         "pipeline_verdicts": q_pipeline_verdicts,
         "pipeline_stage_metrics": q_pipeline_stage_metrics,
         "pipeline_ppl_histogram": q_pipeline_ppl_histogram,
         "pipeline_kept_text": q_pipeline_kept_text,
-        "web_filter_verdicts": q_web_filter_verdicts,
-        "web_stage_counts": q_web_stage_counts,
+        # cheap single-table / join / window queries (sub-second to ~3s)
         "length_filter_docs": q_length_filter_docs,
         "derived_columns_docs": q_derived_columns_docs,
         "token_estimate_docs": q_token_estimate_docs,
@@ -968,46 +981,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_k_orders": q_top_k_orders,
         "sum_avg_lineitem": q_sum_avg_lineitem,
         "tier_splits_events": q_tier_splits_events,
-        "embedding_topk_cosine": q_embedding_topk_cosine,
         "revenue_by_nation": q_revenue_by_nation,
         "event_gaps_users": q_event_gaps_users,
         "domain_topk_web": q_domain_topk_web,
         "approx_percentiles_events": q_approx_percentiles_events,
-        "approx_distinct_users_events": q_approx_distinct_users_events,
+        "truncate_docs": q_truncate_docs,
+        "hash_sample_docs": q_hash_sample_docs,
+        "value_stats_events": q_value_stats_events,
         "softmax_score_events": q_softmax_score_events,
-        "tier_stats_events": q_tier_stats_events,
-        "sessionize_events": q_sessionize_events,
-        "hourly_event_counts": q_hourly_event_counts,
-        "rollup_event_user": q_rollup_event_user,
         "pivot_event_type_counts": q_pivot_event_type_counts,
+        "sessionize_events": q_sessionize_events,
+        "tier_stats_events": q_tier_stats_events,
+        "stratified_sample_docs": q_stratified_sample_docs,
+        "hourly_event_counts": q_hourly_event_counts,
         "asof_last_click_events": q_asof_last_click_events,
+        "approx_distinct_users_events": q_approx_distinct_users_events,
+        "embedding_topk_cosine": q_embedding_topk_cosine,
         "range_join_bands_events": q_range_join_bands_events,
-        "dedup_clusters_t1": q_dedup_clusters_t1,
-        "dedup_cluster_stats_t1": q_dedup_cluster_stats_t1,
-        "minhash_neardup_t1": q_minhash_neardup_t1,
-        "simhash_neardup_t1": q_simhash_neardup_t1,
+        "split_counts_docs": q_split_counts_docs,
         "jaccard_exact_docs": q_jaccard_exact_docs,
+        "rollup_event_user": q_rollup_event_user,
+        # embedding/ANN family (shared plane/centroid/codebook exports)
+        "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_p8": q_embedding_neardup_p8,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "lsh_ann_topk_p8": q_lsh_ann_topk_p8,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_ann_topk_c64": q_ivf_ann_topk_c64,
+        "pq_ann_topk": q_pq_ann_topk,
+        # text-analysis + packing
         "langid_docs": q_langid_docs,
         "quality_score_docs": q_quality_score_docs,
         "fingerprint_docs": q_fingerprint_docs,
         "token_counts_docs": q_token_counts_docs,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "embedding_neardup": q_embedding_neardup,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "pq_ann_topk": q_pq_ann_topk,
-        "embedding_neardup_p8": q_embedding_neardup_p8,
-        "lsh_ann_topk_p8": q_lsh_ann_topk_p8,
-        "ivf_ann_topk_c64": q_ivf_ann_topk_c64,
         "pack_conversations_t1": q_pack_conversations_t1,
+        # media (shared t1 media table)
         "media_meta": q_media_meta,
         "media_frame_sample": q_media_frame_sample,
         "media_embeddings": q_media_embeddings,
-        "truncate_docs": q_truncate_docs,
-        "value_stats_events": q_value_stats_events,
-        "hash_sample_docs": q_hash_sample_docs,
-        "stratified_sample_docs": q_stratified_sample_docs,
+        # t1 near-dup family (shared MinHash pair cache)
+        "minhash_neardup_t1": q_minhash_neardup_t1,
+        "dedup_clusters_t1": q_dedup_clusters_t1,
+        "dedup_cluster_stats_t1": q_dedup_cluster_stats_t1,
+        "simhash_neardup_t1": q_simhash_neardup_t1,
+        # web filter (shared t2 webdocs + golden)
+        "web_filter_verdicts": q_web_filter_verdicts,
+        "web_stage_counts": q_web_stage_counts,
+        # heaviest single query last
         "validate_t2": q_validate_t2,
-        "split_counts_docs": q_split_counts_docs,
     }
 
 
@@ -1158,7 +1179,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_nation": """
             SELECT n_name,
-                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents,
                    count(*) AS orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -1179,7 +1201,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY events DESC, user_id ASC LIMIT 20
         """,
         "domain_topk_web": f"""
-            SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS domain,
+            -- mirror parse_url(HOST): scheme case-insensitive, userinfo
+            -- (user@) stripped, so new fixtures with such URLs cannot
+            -- silently diverge from Spark
+            SELECT regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)',
+                       1) AS domain,
                    count(*) AS docs
             FROM read_parquet('{_webdocs_sql_path()}')
             GROUP BY 1

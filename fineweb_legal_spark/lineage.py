@@ -58,7 +58,14 @@ def committed_buckets(out_dir: str | Path) -> set[int]:
 
 
 def read_lineage(spark: SparkSession, out_dir: str | Path) -> DataFrame:
-    return spark.read.parquet(str(Path(out_dir) / "_lineage"))
+    # mergeSchema: lineage schema grew committed_at in round 2; a resume
+    # over an output dir mixing old 5-col and new 6-col group-*.parquet
+    # must surface the column (as null for old files) instead of silently
+    # dropping it depending on which footer wins schema inference.
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(str(Path(out_dir) / "_lineage"))
+    )
 
 
 def read_committed_output(spark: SparkSession, out_dir: str | Path) -> DataFrame:

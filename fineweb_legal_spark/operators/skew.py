@@ -38,9 +38,19 @@ def salted_join(
     `skewed.join(other, key, how)` for inner/left joins."""
     if _SALT in skewed.columns or _SALT in other.columns:
         raise ValueError(f"salted_join reserves the {_SALT} column")
+    # salt = hash(row content, per-partition ordinal): content alone would
+    # send EXACT-duplicate rows of a hot key (repeated identical log
+    # lines — the canonical heavy hitter) to one reducer again. The
+    # ordinal spreads them; determinism holds whenever the input
+    # partitioning is deterministic (same bar as the content hash — and
+    # any salt value joins correctly since `other` is replicated for all
+    # salts, so salt placement never affects the result set).
     salted = skewed.withColumn(
         _SALT,
-        F.pmod(F.xxhash64(F.struct(*skewed.columns)), F.lit(salt)).cast("int"),
+        F.pmod(
+            F.xxhash64(F.struct(*skewed.columns), F.monotonically_increasing_id()),
+            F.lit(salt),
+        ).cast("int"),
     )
     replicated = other.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -78,7 +78,17 @@ def start_filter_stream(
     available_now: bool = True,
 ):
     """Filter + scrub + watermarked first-arrival dedup; kept turns land in
-    a checkpointed parquet sink (exactly-once)."""
+    a checkpointed parquet sink (exactly-once).
+
+    Dedup CONTRACT (weaker than the batch pipeline, deliberately): a
+    duplicate norm_key arriving within the 1-hour watermark of its first
+    occurrence is dropped; one arriving after the watermark has passed the
+    first occurrence is EMITTED AGAIN — bounded state in exchange for
+    bounded-window dedup semantics. The batch pipeline and the reference's
+    never-evicting registry dedup globally; a stream that must match them
+    exactly needs the lineage-registry anti-join on top (lineage.py), not
+    a bigger watermark. Asserted in tests/test_streaming.py::
+    test_stream_dedup_watermark_contract."""
     scored = _scored_stream(spark, src_dir)
     kept = (
         scored.filter(F.col("reason0").isNull())

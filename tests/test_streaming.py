@@ -138,3 +138,75 @@ def test_stream_session_windows(spark):
     finalized = batch[pd.to_datetime(batch.sess_end) < wm]
     assert key(finalized) <= gset
     shutil.rmtree(BASE, ignore_errors=True)
+
+
+def test_stream_dedup_watermark_contract(spark):
+    """The documented bounded-state trade: a duplicate norm_key WITHIN the
+    1-hour watermark is dropped; the same key arriving AFTER the watermark
+    passed its first occurrence is emitted again (state evicted) — unlike
+    the batch pipeline's global dedup."""
+    import pandas as pd
+    import pyarrow as pa
+
+    base = DATA_DIR / "tmp" / "stream_wm_test"
+    shutil.rmtree(base, ignore_errors=True)
+    src = base / "src"
+    src.mkdir(parents=True)
+    out, cp = str(base / "out"), str(base / "cp")
+
+    # two raw texts the filter keeps (from the t1 golden join)
+    golden = pd.read_parquet(DATA_DIR / "golden/t1/golden_verdicts.parquet")
+    turns = pq.read_table(ensure_transcripts("t1")).to_pandas()
+    kept = turns.merge(
+        golden[golden.keep][["conv_id", "turn_idx"]], on=["conv_id", "turn_idx"]
+    )
+    texts = kept.drop_duplicates("text").text.tolist()
+    ta, tb = texts[0], texts[1]
+
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            src / name,
+        )
+
+    t0 = "2025-06-01 00:00:00"
+    # batch 1: first occurrence of ta's key
+    write("f1.parquet", [("wm1", 0, "user", ta, None, t0)])
+    start_filter_stream(spark, str(src), out, cp).awaitTermination(300)
+    # batch 2: a near-in-time duplicate (dropped — state alive) plus an
+    # unrelated late row that advances the watermark past t0 + 1h
+    write(
+        "f2.parquet",
+        [
+            ("wm2", 0, "user", ta, None, "2025-06-01 00:10:00"),
+            ("wm3", 0, "user", tb, None, "2025-06-01 03:00:00"),
+        ],
+    )
+    start_filter_stream(spark, str(src), out, cp).awaitTermination(300)
+    # batch 3: same key again, now AFTER the watermark passed t0 -> emitted
+    write("f3.parquet", [("wm4", 0, "user", ta, None, "2025-06-01 03:00:00")])
+    start_filter_stream(spark, str(src), out, cp).awaitTermination(300)
+
+    got = spark.read.parquet(out).toPandas()
+    convs = set(got.conv_id)
+    assert "wm1" in convs          # first occurrence kept
+    assert "wm2" not in convs      # within-watermark duplicate dropped
+    assert "wm3" in convs          # watermark advancer kept
+    assert "wm4" in convs          # post-eviction duplicate emitted again
+    shutil.rmtree(base, ignore_errors=True)
