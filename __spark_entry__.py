@@ -841,6 +841,18 @@ def q_ivf_ann_topk_c64(spark, sf_dir):
     )
 
 
+def q_lsh_ann_topk_mp(spark, sf_dir):
+    # multi-probe LSH (Lv et al.): each query also probes the 2 buckets
+    # behind its smallest-|margin| planes — the recall lever that lets
+    # n_planes grow with the corpus without halving recall per plane
+    from fineweb_legal_spark.operators.similarity import lsh_ann_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb, query_ids=list(range(10)), k=5, dim=64, n_planes=8, n_probes=3
+    )
+
+
 def q_pack_conversations_t1(spark, sf_dir):
     # Greedy sample packing: turns -> token-budgeted training chunks
     # (operators/packing.py). Inherently sequential per conversation, so
@@ -1006,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_p8": q_embedding_neardup_p8,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_topk_p8": q_lsh_ann_topk_p8,
+        "lsh_ann_topk_mp": q_lsh_ann_topk_mp,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_ann_topk_c64": q_ivf_ann_topk_c64,
         "pq_ann_topk": q_pq_ann_topk,
@@ -1641,6 +1654,54 @@ def oracle_sql() -> dict[str, str]:
                          AS cos_sim
               FROM b q JOIN b v ON v.bucket = q.bucket AND v.vec_id <> q.vec_id
               WHERE q.vec_id < 10
+            )
+            SELECT query_id, vec_id, rank, cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM cand
+            ) WHERE rank <= 5
+        """,
+        "lsh_ann_topk_mp": f"""
+            WITH p AS (
+              SELECT plane_idx, weights
+              FROM read_parquet('{ensure_planes(64, 8)}')
+            ),
+            marg AS (
+              SELECT e.vec_id, p.plane_idx,
+                     list_dot_product(e.embedding, p.weights) AS d
+              FROM embeddings e, p
+            ),
+            b AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN d > 0
+                          THEN CAST(power(2, plane_idx) AS BIGINT)
+                          ELSE 0 END) AS INTEGER) AS bucket
+              FROM marg GROUP BY vec_id
+            ),
+            flips AS (
+              SELECT vec_id AS query_id, plane_idx,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY abs(d), plane_idx) AS rn
+              FROM marg WHERE vec_id < 10
+            ),
+            probe AS (
+              SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 10
+              UNION ALL
+              SELECT f.query_id,
+                     CAST(xor(qb.bucket,
+                          CAST(power(2, f.plane_idx) AS INTEGER)) AS INTEGER)
+              FROM flips f JOIN b qb ON qb.vec_id = f.query_id
+              WHERE f.rn <= 2
+            ),
+            cand AS (
+              SELECT pr.query_id, vb.vec_id,
+                     round(list_cosine_similarity(v.embedding, qe.embedding),
+                           4) AS cos_sim
+              FROM probe pr
+              JOIN b vb ON vb.bucket = pr.bucket
+              JOIN embeddings v  ON v.vec_id  = vb.vec_id
+              JOIN embeddings qe ON qe.vec_id = pr.query_id
+              WHERE vb.vec_id <> pr.query_id
             )
             SELECT query_id, vec_id, rank, cos_sim FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id

@@ -302,22 +302,73 @@ def lsh_ann_topk(
     k: int,
     dim: int,
     n_planes: int = N_PLANES,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Top-k cosine neighbors per query vector, searched within the query's
     LSH bucket only (returns (query_id, vec_id, rank, cos_sim)). Candidate
     pruning is 2^n_planes-fold — size n_planes to the corpus
-    (suggest_n_planes), probing more buckets for recall where needed."""
+    (suggest_n_planes).
+
+    ``n_probes``: multi-probe LSH (Lv et al., VLDB'07) — besides its own
+    bucket, each query probes the n_probes-1 buckets reached by flipping
+    the single plane bits with the smallest |margin| (the planes the query
+    sits closest to, i.e. the likeliest hash boundaries for a true
+    neighbor to fall across). This is THE recall lever when n_planes grows
+    with the corpus: probe cost is linear in n_probes while halving
+    recall loss per probe, instead of halving the bucket count."""
     b = lsh_buckets(df, dim, n_planes)
     vecs = df.select("vec_id", "embedding").join(b, "vec_id")
-    q = (
-        vecs.filter(F.col("vec_id").isin(query_ids))
-        .select(
+    if n_probes <= 1:
+        q = vecs.filter(F.col("vec_id").isin(query_ids)).select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
             F.col("bucket"),
         )
+    else:
+        # probe table: (query_id, q_emb, bucket) x n_probes — bucket 0 is
+        # the query's own, then single-bit flips in ascending |margin|
+        def probes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            planes = planes_for(dim, n_planes)
+            weights = (1 << np.arange(n_planes)).astype(np.int64)
+            for pdf in batches:
+                mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                margins = mat @ planes.T  # (n, planes), signed distance·|w|
+                bits = margins > 0
+                base = (bits @ weights).astype(np.int64)
+                flip_order = np.argsort(np.abs(margins), axis=1, kind="stable")
+                out_id, out_emb, out_b = [], [], []
+                for i in range(len(mat)):
+                    bs = [int(base[i])]
+                    for f in flip_order[i, : n_probes - 1]:
+                        bs.append(int(base[i]) ^ int(weights[f]))
+                    out_id.extend([pdf["vec_id"].iloc[i]] * len(bs))
+                    out_emb.extend([pdf["embedding"].iloc[i]] * len(bs))
+                    out_b.extend(bs)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.array(out_id, dtype=np.int64),
+                        "q_emb": out_emb,
+                        "bucket": np.array(out_b, dtype=np.int32),
+                    }
+                )
+
+        q = df.filter(F.col("vec_id").isin(query_ids)).select(
+            "vec_id", "embedding"
+        ).mapInPandas(
+            probes,
+            schema=T.StructType(
+                [
+                    T.StructField("query_id", T.LongType()),
+                    T.StructField("q_emb", T.ArrayType(T.DoubleType())),
+                    T.StructField("bucket", T.IntegerType()),
+                ]
+            ),
+        )
+    # each vector lives in ONE bucket and probe buckets are distinct, so a
+    # (query, vec) candidate appears at most once — no dedup needed
+    cand = vecs.join(F.broadcast(q) if n_probes > 1 else q, "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
     )
-    cand = vecs.join(q, "bucket").filter(F.col("vec_id") != F.col("query_id"))
     scored = cand.select(
         "query_id",
         "vec_id",

@@ -417,3 +417,31 @@ def test_train_ivf_centroids_improves_quantization(spark):
     seeded_obj = (mat @ ivf_centroids(64, 16).T).max(axis=1).mean()
     trained_obj = (mat @ trained.T).max(axis=1).mean()
     assert trained_obj > seeded_obj
+
+
+def test_multiprobe_lsh_expands_candidates_monotonically(spark):
+    """Multi-probe LSH guarantees: strictly more probed coverage (rows)
+    and per-rank weakly better cosine for every query — the search only
+    ever ADDS candidates (own bucket is always probe #1)."""
+    from fineweb_legal_spark.operators.similarity import lsh_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qids = list(range(10))
+    single = lsh_ann_topk(emb, qids, k=5, dim=64, n_planes=8).toPandas()
+    multi = lsh_ann_topk(
+        emb, qids, k=5, dim=64, n_planes=8, n_probes=3
+    ).toPandas()
+    # at 256 buckets over ~n=1e3 vectors many buckets hold <6 rows, so
+    # 3 probes must surface strictly more results
+    assert len(multi) > len(single), (len(single), len(multi))
+    m = single.merge(multi, on=["query_id", "rank"], suffixes=("_1", "_3"))
+    assert (m.cos_sim_3 >= m.cos_sim_1).all()
+    # and the single-probe result set is dominated: every single-probe hit
+    # is either kept or displaced by a strictly better candidate
+    for qid in qids:
+        s = single[single.query_id == qid]
+        if not len(s):
+            continue
+        worst3 = multi[multi.query_id == qid].cos_sim.min()
+        dropped = s[~s.vec_id.isin(multi[multi.query_id == qid].vec_id)]
+        assert (dropped.cos_sim <= worst3).all()
