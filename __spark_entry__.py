@@ -841,6 +841,27 @@ def q_ivf_ann_topk_c64(spark, sf_dir):
     )
 
 
+def q_ivf_ann_topk_trained(spark, sf_dir):
+    # data-adapted quantizer: k-means centroids trained by
+    # tools/train_ivf.py and published as parquet — the query loads them
+    # as DATA (no quantizer code shared with the oracle, which replays
+    # cell assignment from the same file)
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from fineweb_legal_spark.operators.similarity import ivf_ann_topk
+
+    cents_pdf = _pq.read_table(
+        DATA_DIR / "golden" / "ivf_trained_dim64_c16.parquet"
+    ).to_pandas()
+    cents = np.stack(cents_pdf.sort_values("cell_idx")["weights"].to_numpy())
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb, query_ids=list(range(10)), k=5, dim=64, nprobe=4,
+        n_cells=16, centroids=cents,
+    )
+
+
 def q_lsh_ann_topk_mp(spark, sf_dir):
     # multi-probe LSH (Lv et al.): each query also probes the 2 buckets
     # behind its smallest-|margin| planes — the recall lever that lets
@@ -1021,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk_mp": q_lsh_ann_topk_mp,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_ann_topk_c64": q_ivf_ann_topk_c64,
+        "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
         "pq_ann_topk": q_pq_ann_topk,
         # text-analysis + packing
         "langid_docs": q_langid_docs,
@@ -1659,6 +1681,48 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cos_sim DESC, vec_id) AS rank
               FROM cand
+            ) WHERE rank <= 5
+        """,
+        "ivf_ann_topk_trained": f"""
+            WITH c AS (
+              SELECT cell_idx, weights
+              FROM read_parquet(
+                  '{DATA_DIR}/golden/ivf_trained_dim64_c16.parquet')
+            ),
+            sims AS (
+              SELECT e.vec_id, c.cell_idx,
+                     list_cosine_similarity(e.embedding, c.weights) AS s
+              FROM embeddings e, c
+            ),
+            assign AS (
+              SELECT vec_id, CAST(arg_max(cell_idx, s) AS INTEGER) AS cell
+              FROM sims GROUP BY vec_id
+            ),
+            qprobe AS (
+              SELECT vec_id AS query_id, cell_idx AS cell FROM (
+                SELECT vec_id, cell_idx,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY s DESC, cell_idx) AS rn
+                FROM sims WHERE vec_id < 10
+              ) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT q.query_id, a.vec_id
+              FROM qprobe q JOIN assign a ON a.cell = q.cell
+              WHERE a.vec_id <> q.query_id
+            ),
+            scored AS (
+              SELECT cd.query_id, cd.vec_id,
+                     round(list_cosine_similarity(v.embedding, qe.embedding), 4)
+                         AS cos_sim
+              FROM cand cd
+              JOIN embeddings v  ON v.vec_id  = cd.vec_id
+              JOIN embeddings qe ON qe.vec_id = cd.query_id
+            )
+            SELECT query_id, vec_id, rank, cos_sim FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, vec_id) AS rank
+              FROM scored
             ) WHERE rank <= 5
         """,
         "lsh_ann_topk_mp": f"""
