@@ -748,6 +748,17 @@ def q_jaccard_exact_docs(spark, sf_dir):
     return exact_jaccard_pairs(d, threshold=0.8)
 
 
+def q_decontaminate_docs(spark, sf_dir):
+    # benchmark decontamination: flag corpus docs sharing an 8-word gram
+    # with the "benchmark" subset (every 37th doc) — broadcast gram-hash
+    # join, never a corpus shuffle (operators/decontam.py)
+    from fineweb_legal_spark.operators.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate(d, bench, n=8)
+
+
 def q_langid_docs(spark, sf_dir):
     from fineweb_legal_spark.operators.textql import predict_language
 
@@ -1045,6 +1056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
         "pq_ann_topk": q_pq_ann_topk,
         # text-analysis + packing
+        "decontaminate_docs": q_decontaminate_docs,
         "langid_docs": q_langid_docs,
         "quality_score_docs": q_quality_score_docs,
         "fingerprint_docs": q_fingerprint_docs,
@@ -1682,6 +1694,36 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cos_sim DESC, vec_id) AS rank
               FROM cand
             ) WHERE rank <= 5
+        """,
+        "decontaminate_docs": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(
+                         regexp_split_to_array(lower(text),
+                             '[ \t\n\r\f\x0b]+'),
+                         x -> x <> '') AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            dg AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(w[i : i + 7], ' ')) AS gram
+              FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 7)) AS i
+                FROM words WHERE len(w) >= 8
+              )
+            ),
+            bench AS (
+              SELECT DISTINCT gram FROM dg WHERE doc_id % 37 = 0
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n
+              FROM dg JOIN bench USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
         """,
         "ivf_ann_topk_trained": f"""
             WITH c AS (

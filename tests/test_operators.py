@@ -445,3 +445,30 @@ def test_multiprobe_lsh_expands_candidates_monotonically(spark):
         worst3 = multi[multi.query_id == qid].cos_sim.min()
         dropped = s[~s.vec_id.isin(multi[multi.query_id == qid].vec_id)]
         assert (dropped.cos_sim <= worst3).all()
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from fineweb_legal_spark.operators.decontam import decontaminate
+
+    gram = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words {gram} suffix words here"),   # contaminated
+            (2, "totally unrelated text with enough words to form grams ok"),
+            (3, "short text"),                                # < n words
+            (4, None),                                        # null text
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, f"the benchmark question contains {gram} verbatim indeed")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=8).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+    assert got[4] == (0, False)
