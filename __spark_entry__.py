@@ -748,6 +748,30 @@ def q_jaccard_exact_docs(spark, sf_dir):
     return exact_jaccard_pairs(d, threshold=0.8)
 
 
+_MIXTURE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIXTURE_DEFAULT = 0.05
+
+
+def q_mixture_sample_docs(spark, sf_dir):
+    # dataset-mixture construction: per-source deterministic sampling
+    # rates (operators/mixture.py). Output = per-source kept counts plus a
+    # doc_id checksum so the oracle compares the exact kept row set.
+    from fineweb_legal_spark.operators.mixture import mixture_sample
+
+    d = _t(spark, sf_dir, "documents")
+    kept = mixture_sample(
+        d, _MIXTURE_RATES, default_rate=_MIXTURE_DEFAULT
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .orderBy("source")
+    )
+
+
 def q_decontaminate_docs(spark, sf_dir):
     # benchmark decontamination: flag corpus docs sharing an 8-word gram
     # with the "benchmark" subset (every 37th doc) — broadcast gram-hash
@@ -1056,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
         "pq_ann_topk": q_pq_ann_topk,
         # text-analysis + packing
+        "mixture_sample_docs": q_mixture_sample_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "langid_docs": q_langid_docs,
         "quality_score_docs": q_quality_score_docs,
@@ -1077,6 +1102,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # heaviest single query last
         "validate_t2": q_validate_t2,
     }
+
+
+def _mixture_oracle_sql() -> str:
+    # thresholds inlined as literals: the rate -> 8-hex-digit mapping is
+    # part of the query's spec (data), recomputed here once
+    from fineweb_legal_spark.operators.mixture import rate_threshold_hex
+
+    vals = ", ".join(
+        f"('{s}', '{rate_threshold_hex(r)}')"
+        for s, r in sorted(_MIXTURE_RATES.items())
+    )
+    dflt = rate_threshold_hex(_MIXTURE_DEFAULT)
+    return f"""
+        WITH thr(source, t) AS (VALUES {vals}),
+        kept AS (
+          SELECT d.source, d.doc_id
+          FROM documents d LEFT JOIN thr ON thr.source = d.source
+          WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                < coalesce(thr.t, '{dflt}')
+        )
+        SELECT source, count(*) AS kept,
+               CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+        FROM kept GROUP BY source ORDER BY source
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1695,6 +1744,7 @@ def oracle_sql() -> dict[str, str]:
               FROM cand
             ) WHERE rank <= 5
         """,
+        "mixture_sample_docs": _mixture_oracle_sql(),
         "decontaminate_docs": """
             WITH words AS (
               SELECT doc_id,

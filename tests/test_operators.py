@@ -472,3 +472,23 @@ def test_decontaminate_flags_planted_overlap(spark):
     assert got[2] == (0, False)
     assert got[3] == (0, False)
     assert got[4] == (0, False)
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from fineweb_legal_spark.operators.mixture import mixture_sample
+
+    d = spark.range(20000).select(
+        F.concat(F.lit("s"), (F.col("id") % 4).cast("string")).alias("source"),
+        F.col("id").alias("doc_id"),
+    )
+    rates = {"s0": 0.9, "s1": 0.5, "s2": 0.1, "s3": 0.0}
+    kept = mixture_sample(d, rates).toPandas()
+    counts = kept.groupby("source").size().to_dict()
+    # ~5000 rows per source; md5 hashing keeps each within a loose CLT band
+    assert abs(counts.get("s0", 0) / 5000 - 0.9) < 0.05
+    assert abs(counts.get("s1", 0) / 5000 - 0.5) < 0.05
+    assert abs(counts.get("s2", 0) / 5000 - 0.1) < 0.05
+    assert "s3" not in counts
+    # deterministic: the exact same row set on a re-run
+    again = mixture_sample(d, rates).toPandas()
+    assert sorted(kept.doc_id) == sorted(again.doc_id)
