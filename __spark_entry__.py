@@ -748,6 +748,21 @@ def q_jaccard_exact_docs(spark, sf_dir):
     return exact_jaccard_pairs(d, threshold=0.8)
 
 
+def q_strip_boilerplate_t1(spark, sf_dir):
+    # corpus-level boilerplate: lines appearing in >=20 distinct turns
+    # (canned acknowledgements in the synthetic transcripts) are stripped,
+    # preserving the order of surviving lines (operators/boilerplate.py)
+    from fineweb_legal_spark.operators.boilerplate import strip_common_lines
+
+    t = spark.read.parquet(str(ensure_transcripts("t1"))).select(
+        F.concat_ws(
+            "#", "conv_id", F.format_string("%06d", "turn_idx")
+        ).alias("doc_id"),
+        "text",
+    )
+    return strip_common_lines(t, min_docs=20, id_col="doc_id")
+
+
 _MIXTURE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MIXTURE_DEFAULT = 0.05
 
@@ -1081,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": q_pq_ann_topk,
         # text-analysis + packing
         "mixture_sample_docs": q_mixture_sample_docs,
+        "strip_boilerplate_t1": q_strip_boilerplate_t1,
         "decontaminate_docs": q_decontaminate_docs,
         "langid_docs": q_langid_docs,
         "quality_score_docs": q_quality_score_docs,
@@ -1745,6 +1761,36 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "mixture_sample_docs": _mixture_oracle_sql(),
+        "strip_boilerplate_t1": f"""
+            WITH t AS (
+              SELECT conv_id || '#' || printf('%06d', turn_idx) AS id, text
+              FROM read_parquet('{ensure_transcripts("t1")}')
+            ),
+            lines AS (
+              SELECT id, i AS pos, l[i] AS line
+              FROM (
+                SELECT id, string_split(text, chr(10)) AS l,
+                       unnest(generate_series(1, len(
+                           string_split(text, chr(10))))) AS i
+                FROM t WHERE text IS NOT NULL
+              )
+            ),
+            common AS (
+              SELECT line FROM (
+                SELECT line, count(DISTINCT id) AS n
+                FROM lines WHERE trim(line) <> '' GROUP BY line
+              ) WHERE n >= 20
+            ),
+            rebuilt AS (
+              SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+              FROM lines WHERE line NOT IN (SELECT line FROM common)
+              GROUP BY id
+            )
+            SELECT t.id,
+                   CASE WHEN t.text IS NULL THEN NULL
+                        ELSE coalesce(r.clean_text, '') END AS clean_text
+            FROM t LEFT JOIN rebuilt r ON r.id = t.id
+        """,
         "decontaminate_docs": """
             WITH words AS (
               SELECT doc_id,

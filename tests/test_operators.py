@@ -492,3 +492,30 @@ def test_mixture_sample_rates_and_determinism(spark):
     # deterministic: the exact same row set on a re-run
     again = mixture_sample(d, rates).toPandas()
     assert sorted(kept.doc_id) == sorted(again.doc_id)
+
+
+def test_strip_common_lines_planted(spark):
+    from fineweb_legal_spark.operators.boilerplate import strip_common_lines
+
+    boiler = "All rights reserved by the example corp."
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique first line\n{boiler}\nunique last line"),
+            (2, f"{boiler}\nanother unique body"),
+            (3, f"solo content without chrome"),
+            (4, boiler),            # only the common line -> ''
+            (5, None),              # null text -> null
+            (6, f"keep\n\nblank lines stay\n{boiler}"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["id"]: r["clean_text"]
+        for r in strip_common_lines(docs, min_docs=3).collect()
+    }
+    assert got["1"] == "unique first line\nunique last line"
+    assert got["2"] == "another unique body"
+    assert got["3"] == "solo content without chrome"
+    assert got["4"] == ""
+    assert got["5"] is None
+    assert got["6"] == "keep\n\nblank lines stay"
