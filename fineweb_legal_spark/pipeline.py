@@ -347,36 +347,48 @@ def run_pipeline(
     )
     scored = model_in.mapInPandas(_model_stage_fn(bc), schema=_MODEL_SCHEMA)
 
-    if exclude_keys is not None:
-        registry = exclude_keys.select("norm_key").distinct().withColumn(
-            "_committed", F.lit(True)
-        )
-        scored = scored.join(registry, "norm_key", "left")
-    else:
-        scored = scored.withColumn("_committed", F.lit(None).cast("boolean"))
-
     # dedup: deterministic "first" = min (conv_id, turn_idx) per norm_key.
     persisted: list[DataFrame] = []
     if slim_dedup:
         # Slim-exchange strategy: persist scored once (both consumers below
         # read the cache, so the model UDF runs exactly once), window over
         # the three key columns only, and bring the loser decisions back as
-        # a broadcast join — the dedup exchange never carries text.
+        # a broadcast join — the dedup exchange never carries text. The
+        # committed-registry check (resume path) also runs against the slim
+        # frame, so the registry exchange carries keys + coordinates only.
         from pyspark.storagelevel import StorageLevel
 
         scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
         persisted.append(scored)
-        w = Window.partitionBy("norm_key").orderBy("conv_id", "turn_idx")
-        losers = (
-            scored.filter(F.col("norm_key").isNotNull())
-            .select("norm_key", "conv_id", "turn_idx")
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") > 1)
-            .select("conv_id", "turn_idx", F.lit(True).alias("_dup"))
+        slim = scored.filter(F.col("norm_key").isNotNull()).select(
+            "norm_key", "conv_id", "turn_idx"
         )
-        deduped = scored.join(F.broadcast(losers), ["conv_id", "turn_idx"], "left")
-        dup_flag = F.col("_committed") | F.coalesce(F.col("_dup"), F.lit(False))
+        w = Window.partitionBy("norm_key").orderBy("conv_id", "turn_idx")
+        dup_rows = (
+            slim.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("conv_id", "turn_idx")
+        )
+        if exclude_keys is not None:
+            committed = slim.join(
+                exclude_keys.select("norm_key").distinct(), "norm_key"
+            ).select("conv_id", "turn_idx")
+            dup_rows = dup_rows.unionByName(committed).distinct()
+        dup_rows = dup_rows.withColumn("_dup", F.lit(True))
+        deduped = scored.join(
+            F.broadcast(dup_rows), ["conv_id", "turn_idx"], "left"
+        )
+        dup_flag = F.coalesce(F.col("_dup"), F.lit(False))
     else:
+        if exclude_keys is not None:
+            registry = exclude_keys.select("norm_key").distinct().withColumn(
+                "_committed", F.lit(True)
+            )
+            scored = scored.join(registry, "norm_key", "left")
+        else:
+            scored = scored.withColumn(
+                "_committed", F.lit(None).cast("boolean")
+            )
         # Classic single-dataflow window. Rows without a hash (rejects) get
         # a synthetic singleton key so one window covers everything without
         # funneling all null keys into a single partition (serial-sort
