@@ -130,6 +130,41 @@ def q_pipeline_kept_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.filter("keep").select("conv_id", "turn_idx", "scrubbed_text")
 
 
+def q_pipeline_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII/toxicity scrub audit (A-family metrics): total occurrences of
+    # each redaction token across the kept corpus, plus how many turns
+    # contain it — the "what did the scrubber actually do" report every
+    # privacy review asks for. Native expressions over the session-cached
+    # verdicts; occurrences = length delta / token length.
+    v = _t2_verdicts(spark).filter("keep")
+    rows = []
+    for name, token in (
+        ("email", spec.EMAIL_TOKEN),
+        ("ssn", spec.SSN_TOKEN),
+        ("phone", spec.PHONE_TOKEN),
+        ("profanity", spec.PROFANITY_TOKEN),
+    ):
+        occ = (
+            F.length("scrubbed_text")
+            - F.length(F.replace(F.col("scrubbed_text"), F.lit(token)))
+        ) / F.lit(len(token))
+        rows.append(
+            v.select(
+                F.lit(name).alias("token"),
+                occ.cast("long").alias("_occ"),
+            )
+            .groupBy("token")
+            .agg(
+                F.sum("_occ").alias("occurrences"),
+                F.sum((F.col("_occ") > 0).cast("long")).alias("turns_hit"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("token")
+
+
 # --------------------------------------------------------------------------
 # reference stage-1 web filter (pure-SQL DuckDB oracle)
 # --------------------------------------------------------------------------
@@ -1043,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_stage_metrics": q_pipeline_stage_metrics,
         "pipeline_ppl_histogram": q_pipeline_ppl_histogram,
         "pipeline_kept_text": q_pipeline_kept_text,
+        "pipeline_scrub_counts": q_pipeline_scrub_counts,
         # cheap single-table / join / window queries (sub-second to ~3s)
         "length_filter_docs": q_length_filter_docs,
         "derived_columns_docs": q_derived_columns_docs,
@@ -1759,6 +1795,25 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cos_sim DESC, vec_id) AS rank
               FROM cand
             ) WHERE rank <= 5
+        """,
+        "pipeline_scrub_counts": f"""
+            WITH k AS (
+              SELECT scrubbed_text FROM read_parquet('{golden}') WHERE keep
+            ),
+            c AS (
+              SELECT t.token,
+                     (length(scrubbed_text)
+                      - length(replace(scrubbed_text, t.tok, '')))
+                     // length(t.tok) AS occ
+              FROM k, (VALUES ('email', '[EMAIL]'), ('phone', '[PHONE]'),
+                              ('profanity', '[CENSORED]'), ('ssn', '[SSN]'))
+                       AS t(token, tok)
+            )
+            SELECT token,
+                   CAST(sum(occ) AS BIGINT) AS occurrences,
+                   CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS turns_hit
+            FROM c GROUP BY token ORDER BY token
         """,
         "mixture_sample_docs": _mixture_oracle_sql(),
         "strip_boilerplate_t1": f"""
