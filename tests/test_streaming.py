@@ -210,3 +210,72 @@ def test_stream_dedup_watermark_contract(spark):
     assert "wm3" in convs          # watermark advancer kept
     assert "wm4" in convs          # post-eviction duplicate emitted again
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_registry_stream_never_evicts(spark):
+    """Registry-backed dedup keeps the reference's never-forgetting
+    contract: the same norm_key re-arriving HOURS past any watermark, in a
+    later batch, is still dropped — and restarts add nothing."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from fineweb_legal_spark.streaming.registry_stream import (
+        start_registry_filter_stream,
+    )
+
+    base = DATA_DIR / "tmp" / "stream_reg_test"
+    shutil.rmtree(base, ignore_errors=True)
+    src = base / "src"
+    src.mkdir(parents=True)
+    out, cp, reg = str(base / "out"), str(base / "cp"), str(base / "reg")
+
+    golden = pd.read_parquet(DATA_DIR / "golden/t1/golden_verdicts.parquet")
+    turns = pq.read_table(ensure_transcripts("t1")).to_pandas()
+    kept = turns.merge(
+        golden[golden.keep][["conv_id", "turn_idx"]], on=["conv_id", "turn_idx"]
+    )
+    ta, tb = kept.drop_duplicates("text").text.tolist()[:2]
+
+    schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("turn_idx", pa.int32()),
+            ("role", pa.string()),
+            ("text", pa.string()),
+            ("tool", pa.string()),
+            ("ts", pa.timestamp("us")),
+        ]
+    )
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            src / name,
+        )
+
+    def run():
+        start_registry_filter_stream(spark, str(src), out, cp, reg).awaitTermination(
+            300
+        )
+
+    write("f1.parquet", [("rg1", 0, "user", ta, None, "2025-06-01 00:00:00")])
+    run()
+    # same key 3 hours later in a NEW batch — watermark dedup would
+    # re-emit; the registry must drop it
+    write("f2.parquet", [("rg2", 0, "user", ta, None, "2025-06-01 03:00:00")])
+    run()
+    write("f3.parquet", [("rg3", 0, "user", tb, None, "2025-06-01 06:00:00")])
+    run()
+
+    got = spark.read.parquet(f"{out}/batch=*").toPandas()
+    assert set(got.conv_id) == {"rg1", "rg3"}
+    # restart with nothing new: no additional rows
+    run()
+    again = spark.read.parquet(f"{out}/batch=*").toPandas()
+    assert len(again) == len(got)
+    shutil.rmtree(base, ignore_errors=True)
