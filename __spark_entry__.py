@@ -798,6 +798,16 @@ def q_strip_boilerplate_t1(spark, sf_dir):
     return strip_common_lines(t, min_docs=20, id_col="doc_id")
 
 
+def q_validate_structure_t2(spark, sf_dir):
+    # agent-transcript protocol sanity over (role, tool, turn_idx):
+    # tool-turn/tool-name consistency, tool-after-assistant ordering,
+    # opening-role, dense turn indices (validation.py)
+    from fineweb_legal_spark.validation import transcript_structure_checks
+
+    t = spark.read.parquet(str(ensure_transcripts("t2")))
+    return transcript_structure_checks(t)
+
+
 _MIXTURE_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25, "src3": 0.1}
 _MIXTURE_DEFAULT = 0.05
 
@@ -1152,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_filter_verdicts": q_web_filter_verdicts,
         "web_stage_counts": q_web_stage_counts,
         # heaviest single query last
+        "validate_structure_t2": q_validate_structure_t2,
         "validate_t2": q_validate_t2,
     }
 
@@ -1795,6 +1806,46 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cos_sim DESC, vec_id) AS rank
               FROM cand
             ) WHERE rank <= 5
+        """,
+        "validate_structure_t2": f"""
+            WITH x AS (
+              SELECT conv_id, turn_idx, role, tool,
+                     lag(role) OVER w AS prev_role,
+                     lag(turn_idx) OVER w AS prev_idx
+              FROM read_parquet('{ensure_transcripts("t2")}')
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ),
+            agg AS (
+              SELECT
+                CAST(sum(CASE WHEN role = 'tool' AND tool IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)
+                    AS tool_role_without_tool_name,
+                CAST(sum(CASE WHEN role <> 'tool' AND tool IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT)
+                    AS tool_name_on_non_tool_role,
+                CAST(sum(CASE WHEN role = 'tool' AND prev_role IS NOT NULL
+                     AND prev_role NOT IN ('assistant', 'tool')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+                    AS tool_turn_not_after_assistant,
+                CAST(sum(CASE WHEN prev_idx IS NULL
+                     AND role NOT IN ('user', 'system')
+                     THEN 1 ELSE 0 END) AS BIGINT)
+                    AS conv_opens_with_tool_or_assistant,
+                CAST(sum(CASE WHEN (prev_idx IS NULL AND turn_idx <> 0)
+                     OR (prev_idx IS NOT NULL AND turn_idx <> prev_idx + 1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS turn_idx_gap
+              FROM x
+            )
+            SELECT 'tool_role_without_tool_name' AS "check",
+                   tool_role_without_tool_name AS violations FROM agg
+            UNION ALL SELECT 'tool_name_on_non_tool_role',
+                   tool_name_on_non_tool_role FROM agg
+            UNION ALL SELECT 'tool_turn_not_after_assistant',
+                   tool_turn_not_after_assistant FROM agg
+            UNION ALL SELECT 'conv_opens_with_tool_or_assistant',
+                   conv_opens_with_tool_or_assistant FROM agg
+            UNION ALL SELECT 'turn_idx_gap', turn_idx_gap FROM agg
+            ORDER BY "check"
         """,
         "pipeline_scrub_counts": f"""
             WITH k AS (

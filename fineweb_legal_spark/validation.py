@@ -123,3 +123,61 @@ def hash_sample(df: DataFrame, key_col: str, hex_digits: int = 1) -> DataFrame:
     '0' hex digits — engine-independent, unlike seeded RNG sampling."""
     prefix = F.substring(F.md5(F.col(key_col).cast("string")), 1, hex_digits)
     return df.filter(prefix == "0" * hex_digits)
+
+
+def transcript_structure_checks(df: DataFrame) -> DataFrame:
+    """Agent-transcript protocol sanity (input_hint schema: role + tool):
+    per-check violation counts over (conv_id, turn_idx, role, tool).
+
+    Checks: tool-role turns must name a tool and non-tool roles must not;
+    a tool turn must directly follow an assistant or tool turn (tool
+    chains are legal, a tool answering a user is not); conversations must
+    open with user or system; turn_idx must be dense from 0 (gap = a lost
+    turn upstream). One window pass + one aggregate — no driver loops."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    x = df.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        F.lag("role").over(w).alias("_prev_role"),
+        F.lag("turn_idx").over(w).alias("_prev_idx"),
+    )
+    checks = {
+        "tool_role_without_tool_name": (F.col("role") == "tool")
+        & F.col("tool").isNull(),
+        "tool_name_on_non_tool_role": (F.col("role") != "tool")
+        & F.col("tool").isNotNull(),
+        "tool_turn_not_after_assistant": (F.col("role") == "tool")
+        & F.col("_prev_role").isNotNull()
+        & ~F.col("_prev_role").isin("assistant", "tool"),
+        "conv_opens_with_tool_or_assistant": F.col("_prev_idx").isNull()
+        & ~F.col("role").isin("user", "system"),
+        "turn_idx_gap": (
+            F.when(
+                F.col("_prev_idx").isNull(), F.col("turn_idx") != 0
+            ).otherwise(F.col("turn_idx") != F.col("_prev_idx") + 1)
+        ),
+    }
+    agg = x.agg(
+        *[
+            F.sum(cond.cast("long")).alias(name)
+            for name, cond in checks.items()
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                F.col(name).alias("violations"),
+            )
+            for name in checks
+        ]
+    )
+    return (
+        agg.select(F.explode(rows).alias("r"))
+        .select("r.check", "r.violations")
+        .orderBy("check")
+    )

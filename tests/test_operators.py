@@ -519,3 +519,35 @@ def test_strip_common_lines_planted(spark):
     assert got["4"] == ""
     assert got["5"] is None
     assert got["6"] == "keep\n\nblank lines stay"
+
+
+def test_transcript_structure_checks_planted(spark):
+    from fineweb_legal_spark.validation import transcript_structure_checks
+
+    rows = [
+        # clean conversation
+        ("c1", 0, "user", None),
+        ("c1", 1, "assistant", None),
+        ("c1", 2, "tool", "shell"),       # tool after assistant: ok
+        ("c1", 3, "tool", "python"),      # tool chain: ok
+        # violations
+        ("c2", 0, "assistant", None),     # opens with assistant
+        ("c2", 1, "tool", None),          # tool role without name AND
+                                          # tool after non-assistant? prev
+                                          # is assistant -> ordering ok
+        ("c2", 3, "user", "shell"),       # gap (2 missing) + name on user
+        ("c3", 0, "user", None),
+        ("c3", 1, "tool", "sql"),         # tool directly after user
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "tool"])
+    got = {
+        r["check"]: r["violations"]
+        for r in transcript_structure_checks(df).collect()
+    }
+    assert got == {
+        "tool_role_without_tool_name": 1,
+        "tool_name_on_non_tool_role": 1,
+        "tool_turn_not_after_assistant": 1,
+        "conv_opens_with_tool_or_assistant": 1,
+        "turn_idx_gap": 1,
+    }
