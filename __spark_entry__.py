@@ -798,6 +798,14 @@ def q_strip_boilerplate_t1(spark, sf_dir):
     return strip_common_lines(t, min_docs=20, id_col="doc_id")
 
 
+def q_tfidf_top_terms_docs(spark, sf_dir):
+    # corpus characterization: top-5 TF-IDF terms per source (native
+    # explode + two map-side-combinable aggs + small top-k window)
+    from fineweb_legal_spark.operators.textql import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_validate_structure_t2(spark, sf_dir):
     # agent-transcript protocol sanity over (role, tool, turn_idx):
     # tool-turn/tool-name consistency, tool-after-assistant ordering,
@@ -1142,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": q_pq_ann_topk,
         # text-analysis + packing
         "mixture_sample_docs": q_mixture_sample_docs,
+        "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
         "strip_boilerplate_t1": q_strip_boilerplate_t1,
         "decontaminate_docs": q_decontaminate_docs,
         "langid_docs": q_langid_docs,
@@ -1805,6 +1814,37 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY query_id
                         ORDER BY cos_sim DESC, vec_id) AS rank
               FROM cand
+            ) WHERE rank <= 5
+        """,
+        "tfidf_top_terms_docs": """
+            WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),
+            words AS (
+              SELECT doc_id, source,
+                     unnest(list_filter(
+                         regexp_split_to_array(lower(text),
+                             '[ \t\n\r\f\x0b]+'),
+                         x -> x <> '')) AS term
+              FROM d
+            ),
+            n AS (SELECT count(*) AS n_docs FROM d),
+            df_ AS (
+              SELECT term, count(DISTINCT doc_id) AS dfreq
+              FROM words GROUP BY term
+            ),
+            tf AS (
+              SELECT source, term, count(*) AS tfreq
+              FROM words GROUP BY source, term
+            ),
+            scored AS (
+              SELECT tf.source, tf.term,
+                     round(tfreq * ln(CAST(n.n_docs AS DOUBLE) / dfreq), 4)
+                         AS tfidf
+              FROM tf JOIN df_ USING (term), n
+            )
+            SELECT source, rank, term, tfidf FROM (
+              SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY tfidf DESC, term) AS rank
+              FROM scored
             ) WHERE rank <= 5
         """,
         "validate_structure_t2": f"""

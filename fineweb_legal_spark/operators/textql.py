@@ -87,3 +87,48 @@ def predict_language(
             yield pd.DataFrame({id_col: pdf[id_col], "pred_lang": preds})
 
     return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Top-k TF-IDF terms per source — the classic corpus-characterization
+    report ("what words distinguish each slice of the mixture").
+
+    tf = term occurrences within the source's documents;
+    idf = ln(N_docs / doc_freq); score = round(tf * idf, 4) with a
+    (score desc, term asc) tiebreak. All JVM-native: one explode + two
+    aggregations (both map-side combinable) + one small top-k window;
+    doc_freq's exchange carries (term, doc) pairs, never text.
+    """
+    from pyspark.sql import Window
+
+    words = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_id"),
+        F.col(source_col).alias("source"),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), "[ \t\n\r\f\x0b]+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    n_docs = df.filter(F.col(text_col).isNotNull()).count()
+    docfreq = words.groupBy("term").agg(
+        F.count_distinct("_id").alias("_df")
+    )
+    tf = words.groupBy("source", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    scored = tf.join(docfreq, "term").select(
+        "source",
+        "term",
+        F.round(
+            F.col("_tf") * F.log(F.lit(float(n_docs)) / F.col("_df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "term", "tfidf")
+    )
