@@ -1947,8 +1947,11 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE text IS NOT NULL
             ),
             dg AS (
+              -- the operator's output carries no hashes, so the oracle
+              -- joins on the gram STRINGS (exact); Spark joins on a 64-bit
+              -- rolling hash (see decontam.py collision bound)
               SELECT DISTINCT doc_id,
-                     md5(array_to_string(w[i : i + 7], ' ')) AS gram
+                     array_to_string(w[i : i + 7], ' ') AS gram
               FROM (
                 SELECT doc_id, w,
                        unnest(generate_series(1, len(w) - 7)) AS i

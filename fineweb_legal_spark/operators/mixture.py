@@ -7,11 +7,12 @@ the same row set results on any engine, partitioning, or retry — the same
 determinism-hardening as validation.hash_sample, generalized to
 per-stratum rates. No reference analog — a training-data toolkit op.
 
-Mechanics: rate r maps to an 8-hex-digit threshold floor(r * 16^8); a row
-is kept when the first 8 hex digits of md5(key) compare below the
-threshold string. Fixed-width lowercase hex compares lexicographically in
-numeric order, so the predicate is a plain string comparison both in
-Spark and in the DuckDB oracle — no cross-engine integer parsing.
+Mechanics: rate r maps to an 8-hex-digit threshold floor(r * 16^8) (rate
+1.0 maps to the sentinel "g", above every hex prefix); a row is kept when
+the first 8 hex digits of md5(key) compare below the threshold string.
+Fixed-width lowercase hex compares lexicographically in numeric order, so
+the predicate is a plain string comparison both in Spark and in the
+DuckDB oracle — no cross-engine integer parsing.
 
 Scale shape: the rate table is a handful of rows (broadcast join); the
 filter runs at the scan with no shuffle at all. Expected kept fraction
@@ -28,9 +29,14 @@ HEX_SPACE = 16**8
 
 
 def rate_threshold_hex(rate: float) -> str:
-    """8-hex-digit lexicographic threshold for a [0, 1] sampling rate."""
+    """Lexicographic threshold for a [0, 1] sampling rate: 8 hex digits,
+    except rate 1.0 maps to "g" (> every hex prefix) so keep-everything
+    sources really keep everything — "ffffffff" under a strict ``<`` would
+    wrongly drop the ~2^-32 of rows whose md5 prefix is exactly that."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate {rate} outside [0, 1]")
+    if rate >= 1.0:
+        return "g"
     return format(min(int(rate * HEX_SPACE), HEX_SPACE - 1), "08x")
 
 

@@ -448,9 +448,13 @@ def _adc_scan_fn(dim: int, q_ids: np.ndarray, q_mat: np.ndarray, shortlist: int)
     compressed scan."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nq = len(q_ids)
+        if nq == 0:
+            # no requested query id exists in df: emit nothing (the old
+            # per-batch np.concatenate([]) raised ValueError here)
+            return
         cb = pq_codebooks(dim)
         dsub = dim // N_PQ_SUB
-        nq = len(q_ids)
         luts = np.empty((nq, N_PQ_SUB, N_PQ_CODES))
         for qi in range(nq):
             for m in range(N_PQ_SUB):

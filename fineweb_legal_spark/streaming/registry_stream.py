@@ -49,9 +49,19 @@ def _commit_batch(out_dir: str, registry_dir: str):
             F.col("_rn") == 1
         )
 
-        # cross-batch dedup: anti-join the committed registry
+        # cross-batch dedup: anti-join the committed registry. Only slices
+        # with batch id < the CURRENT id participate: on foreachBatch replay
+        # (crash between the writes and the checkpoint commit) this batch's
+        # own slice from the failed attempt is already on disk, and
+        # anti-joining against it would empty `kept` and overwrite both
+        # outputs with nothing — permanent loss. Earlier-only filtering
+        # makes the replay reproduce the first attempt exactly.
         reg_path = Path(registry_dir)
-        reg_files = sorted(str(p) for p in reg_path.glob("batch-*.parquet"))
+        reg_files = sorted(
+            str(p)
+            for p in reg_path.glob("batch-*.parquet")
+            if int(p.stem.split("-", 1)[1]) < batch_id
+        )
         if reg_files:
             registry = spark.read.parquet(*reg_files).select("norm_key")
             kept = kept.join(registry, "norm_key", "left_anti")
@@ -64,7 +74,14 @@ def _commit_batch(out_dir: str, registry_dir: str):
             )
             reg_path.mkdir(parents=True, exist_ok=True)
             tmp = reg_path / f"_tmp-batch-{batch_id}"
-            kept.select("norm_key").write.mode("overwrite").parquet(str(tmp))
+            # coalesce(1): the publish below takes exactly one part file, and
+            # kept comes out of window/anti-join shuffles with potentially
+            # many non-empty partitions — without this, extra parts would be
+            # silently dropped and their keys re-emitted in later batches.
+            # A micro-batch's norm_key set is small; one writer task is fine.
+            kept.select("norm_key").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(tmp))
             # single-file atomic publish (same rename trick as lineage)
             import shutil
 

@@ -494,6 +494,21 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert sorted(kept.doc_id) == sorted(again.doc_id)
 
 
+def test_mixture_sample_rate_one_keeps_everything(spark):
+    # rate 1.0 must keep EVERY row, including keys whose md5 prefix is
+    # 'ffffffff' (threshold sentinel 'g' > any hex prefix)
+    from fineweb_legal_spark.operators.mixture import (
+        mixture_sample,
+        rate_threshold_hex,
+    )
+
+    assert rate_threshold_hex(1.0) == "g"
+    d = spark.range(5000).select(
+        F.lit("s0").alias("source"), F.col("id").alias("doc_id")
+    )
+    assert mixture_sample(d, {"s0": 1.0}).count() == 5000
+
+
 def test_strip_common_lines_planted(spark):
     from fineweb_legal_spark.operators.boilerplate import strip_common_lines
 
@@ -519,6 +534,19 @@ def test_strip_common_lines_planted(spark):
     assert got["4"] == ""
     assert got["5"] is None
     assert got["6"] == "keep\n\nblank lines stay"
+
+    # shuffle path (broadcast_limit=0 forces the non-broadcast join) and
+    # the fractional threshold (3/6 docs = 0.5) give the same answer
+    for kwargs in (
+        {"min_docs": 3, "broadcast_limit": 0},
+        {"min_docs": 0.5},
+        {"min_docs": 0.5, "broadcast_limit": 0},
+    ):
+        alt = {
+            r["id"]: r["clean_text"]
+            for r in strip_common_lines(docs, **kwargs).collect()
+        }
+        assert alt == got, kwargs
 
 
 def test_transcript_structure_checks_planted(spark):

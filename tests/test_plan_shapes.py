@@ -142,3 +142,19 @@ def test_pq_shortlist_is_local_not_global(spark, queries):
     assert plan.count(") MapInPandas") == 2, plan.count(") MapInPandas")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tfidf_construction_launches_zero_jobs(spark, queries):
+    # round 3 ran an eager df.count() at plan-build; N_docs is now a lazy
+    # broadcast scalar, so constructing the OPERATOR must launch no Spark
+    # job. (spark.read.parquet itself runs a 1-task footer-schema job on
+    # every call — that's the reader, so the input frame is built first.)
+    from fineweb_legal_spark.operators.textql import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    df = tfidf_top_terms(docs, k=5)
+    after = set(tracker.getJobIdsForGroup(None))
+    assert after == before, "tfidf plan construction ran a Spark job"
+    assert df.schema is not None

@@ -279,3 +279,53 @@ def test_registry_stream_never_evicts(spark):
     again = spark.read.parquet(f"{out}/batch=*").toPandas()
     assert len(again) == len(got)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_registry_stream_replay_idempotent(spark):
+    """foreachBatch replay (crash after the writes, before the checkpoint
+    commit) must reproduce the first attempt byte-for-byte: the batch's
+    OWN registry slice left by the failed attempt is excluded from the
+    anti-join read, so a replayed batch does not anti-join itself down to
+    an empty overwrite (round-3 ADVICE high)."""
+    import datetime as dt
+
+    from fineweb_legal_spark.streaming.registry_stream import _commit_batch
+
+    base = DATA_DIR / "tmp" / "stream_reg_replay"
+    shutil.rmtree(base, ignore_errors=True)
+    out, reg = str(base / "out"), str(base / "reg")
+    schema = (
+        "conv_id string, turn_idx int, ts timestamp, lang string, "
+        "ppl_bucket int, scrubbed_text string, norm_key string, "
+        "reason0 string"
+    )
+    ts = dt.datetime(2025, 6, 1)
+    fn = _commit_batch(out, reg)
+
+    b0 = spark.createDataFrame(
+        [
+            ("c1", 0, ts, "en", 3, "hello", "k1", None),
+            ("c2", 0, ts, "en", 3, "hello", "k1", None),  # within-batch dup
+            ("c3", 0, ts, "en", 3, "other", "k2", None),
+        ],
+        schema,
+    )
+    fn(b0, 0)
+    first = spark.read.parquet(f"{out}/batch=0").toPandas()
+    assert set(first.conv_id) == {"c1", "c3"}
+    # replay the SAME batch (foreachBatch is at-least-once)
+    fn(b0, 0)
+    replay = spark.read.parquet(f"{out}/batch=0").toPandas()
+    assert set(replay.conv_id) == {"c1", "c3"}
+    # a LATER batch still anti-joins every earlier slice
+    b1 = spark.createDataFrame(
+        [
+            ("c4", 0, ts, "en", 3, "hello", "k1", None),  # cross-batch dup
+            ("c5", 0, ts, "en", 3, "new", "k3", None),
+        ],
+        schema,
+    )
+    fn(b1, 1)
+    second = spark.read.parquet(f"{out}/batch=1").toPandas()
+    assert set(second.conv_id) == {"c5"}
+    shutil.rmtree(base, ignore_errors=True)
