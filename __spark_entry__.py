@@ -1027,14 +1027,47 @@ def q_truncate_docs(spark, sf_dir):
 
 
 def q_value_stats_events(spark, sf_dir):
-    # A5: describe()-style stats
+    # A5 describe()-style stats + A6 exact AND sketch percentiles + A8
+    # exact/HLL count-distinct — ONE single-pass aggregate (every term is
+    # map-side combinable: min/max/avg/stddev moments, the exact
+    # percentile's sort-merge, the Greenwald-Khanna sketch, HLL++), where
+    # round 3 spent four separate scans. ap* = percentile_approx; at gate
+    # scale its high-accuracy output equals the discrete order statistic
+    # (DuckDB quantile_disc); hll_within_band = estimate within 3x rsd.
     e = _t(spark, sf_dir, "events")
-    return e.agg(
+    pct = F.percentile(
+        "value", F.array(*[F.lit(x) for x in (0.5, 0.75, 0.9, 0.95, 0.99)])
+    )
+    aggs = [
         F.round(F.min("value"), 4).alias("v_min"),
         F.round(F.max("value"), 4).alias("v_max"),
         F.round(F.avg("value"), 4).alias("v_avg"),
         F.round(F.stddev_samp("value"), 4).alias("v_std"),
-    )
+    ]
+    aggs += [
+        F.round(pct[i], 4).alias(f"p{int(q * 100)}")
+        for i, q in enumerate((0.5, 0.75, 0.9, 0.95, 0.99))
+    ]
+    aggs += [
+        F.round(F.percentile_approx("value", p, 1_000_000), 4).alias(
+            f"ap{int(p * 100)}"
+        )
+        for p in (0.5, 0.75, 0.9, 0.95, 0.99)
+    ]
+    aggs += [
+        F.countDistinct("user_id").alias("n_users_exact"),
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id", 0.02).cast("double")
+                    - F.countDistinct("user_id")
+                )
+                / F.countDistinct("user_id")
+            )
+            <= 0.06
+        ).alias("hll_within_band"),
+    ]
+    return e.agg(*aggs)
 
 
 def q_hash_sample_docs(spark, sf_dir):
@@ -1081,15 +1114,288 @@ def q_split_counts_docs(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# round-4 registry consolidation. The driver's correctness sweep covers at
+# most 50 queries per round; the 74-entry round-3 registry permanently
+# shadowed its own newest operators (round-3 verdict "What's wrong" #1).
+# Configuration variants and same-table projections are folded below into
+# config-tagged unions / wide single-pass frames so EVERY registry entry
+# earns a driver-produced correctness row each round. The per-variant
+# builders above are unchanged — tests, bench, and library users still
+# call them directly. COVERAGE.md maps retired query names -> new homes.
+# --------------------------------------------------------------------------
+
+
+def _tag(df: DataFrame, tag: str) -> DataFrame:
+    return df.select(F.lit(tag).alias("config"), "*")
+
+
+def q_doc_transforms_docs(spark, sf_dir):
+    # F14 derived columns + F16 token estimate + F15 word-boundary
+    # truncation: one per-doc projection (formerly three queries)
+    from fineweb_legal_spark.validation import word_boundary_truncate
+
+    d = _t(spark, sf_dir, "documents")
+    return word_boundary_truncate(d, "text", limit=120).select(
+        "doc_id",
+        F.length("text").alias("char_length"),
+        F.size(F.split("text", " ")).alias("word_count"),
+        F.greatest(F.lit(1), F.floor(F.length("text") / 4))
+        .cast("long")
+        .alias("tok_est"),
+        "truncated",
+    )
+
+
+def q_corpus_totals_docs(spark, sf_dir):
+    # A8 exact count-distinct + A13 word/char totals, one aggregate pass
+    d = _t(spark, sf_dir, "documents")
+    return d.agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_words"),
+    )
+
+
+def q_sample_audit_docs(spark, sf_dir):
+    # O5 reproducible sampling, both forms, config-tagged: the compared
+    # value is the exact selected doc_id set (the determinism contract)
+    h = q_hash_sample_docs(spark, sf_dir).select("doc_id")
+    s = q_stratified_sample_docs(spark, sf_dir).select("doc_id")
+    return _tag(h, "hash1").unionByName(_tag(s, "strat5"))
+
+
+def q_splits_and_tiers(spark, sf_dir):
+    # split-assignment counts (documents) + F7/F8 tier threshold counts
+    # (events) as one (config, key, n) frame
+    sp = q_split_counts_docs(spark, sf_dir).select(
+        F.lit("split").alias("config"),
+        F.col("split").alias("key"),
+        F.col("docs").alias("n"),
+    )
+    tiers = q_tier_splits_events(spark, sf_dir).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(c).alias("key"), F.col(c).alias("n"))
+                    for c in ("tier_default", "tier_high", "tier_supreme")
+                ]
+            )
+        ).alias("r")
+    ).select(F.lit("tier").alias("config"), "r.key", "r.n")
+    return sp.unionByName(tiers)
+
+
+def q_topk_groups(spark, sf_dir):
+    # A7 top-k group counts on two tables (doc sources, web domains incl.
+    # C10 host extraction), config-tagged
+    a = q_top_sources_docs(spark, sf_dir).select(
+        F.lit("doc_sources").alias("config"),
+        F.col("source").alias("key"),
+        "docs",
+    )
+    b = q_domain_topk_web(spark, sf_dir).select(
+        F.lit("web_domains").alias("config"),
+        F.col("domain").alias("key"),
+        "docs",
+    )
+    return a.unionByName(b)
+
+
+def q_text_analysis_docs(spark, sf_dir):
+    # language-ID + quality score + fingerprint + token counts in ONE
+    # pass: the native projections compute inline, then the Arrow langid
+    # UDF passes the scalar columns through (keep_cols) — no join back on
+    # doc_id, no second scan of the corpus
+    from fineweb_legal_spark.operators.textql import (
+        fingerprint,
+        predict_language,
+        quality_score,
+        token_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    wide = token_counts(quality_score(fingerprint(d))).select(
+        "doc_id",
+        "text",
+        "quality_score",
+        "fingerprint",
+        "ws_tokens",
+        "bpe_ish_tokens",
+    )
+    return predict_language(
+        spark,
+        wide,
+        "doc_id",
+        keep_cols=("quality_score", "fingerprint", "ws_tokens", "bpe_ish_tokens"),
+    )
+
+
+def q_json_softmax_events(spark, sf_dir):
+    # C14 JSON extraction + D4 softmax score/label: one per-event
+    # projection (formerly two scans of events)
+    e = _t(spark, sf_dir, "events")
+    score, label = _softmax_score_cols()
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        score,
+        label,
+    ).withColumn("is_legal", F.col("score") >= 3.0)
+
+
+def q_window_events(spark, sf_dir):
+    # §2.5 row_number AND lag in ONE window pass (formerly two queries,
+    # two scans): per-user first-3 events with their inter-event gap
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("gap_s", secs - F.lag(secs).over(w))
+        .filter("rn <= 3")
+        .select("user_id", "rn", "event_id", "gap_s")
+    )
+
+
+def q_customer_order_joins(spark, sf_dir):
+    # J2 semi-join + J1/J3 anti-join overlap audits, config-tagged
+    return _tag(q_semi_join_customers(spark, sf_dir), "semi").unionByName(
+        _tag(q_anti_join_customers(spark, sf_dir), "anti")
+    )
+
+
+def q_neardup_pairs(spark, sf_dir):
+    # the near-duplicate PAIR family in one tagged frame: MinHash-LSH and
+    # SimHash banding over t1 turns plus the exact-Jaccard O(n^2)
+    # validation baseline over documents. 'score' is verified Jaccard for
+    # the jaccard paths and Hamming distance for simhash.
+    mh = _t1_minhash_pairs(spark).select(
+        "id_a", "id_b", F.col("jaccard").alias("score")
+    )
+    sh = q_simhash_neardup_t1(spark, sf_dir).select(
+        "id_a", "id_b", F.col("hamming").cast("double").alias("score")
+    )
+    jc = q_jaccard_exact_docs(spark, sf_dir).select(
+        "id_a", "id_b", F.col("jaccard").alias("score")
+    )
+    return (
+        _tag(mh, "minhash_t1")
+        .unionByName(_tag(sh, "simhash_t1"))
+        .unionByName(_tag(jc, "jaccard_docs"))
+    )
+
+
+def q_dedup_clusters_rollup_t1(spark, sf_dir):
+    # connected-component labels rolled up per cluster: member count, docs
+    # removed by canonical-keeper dedup, and an order-insensitive
+    # membership digest — cluster ASSIGNMENT and the dedup REPORT in one
+    # frame (formerly two queries). collect_list is bounded by cluster
+    # size (near-dup clusters, not the corpus).
+    cc = _t1_cc(spark)
+    return cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_removed"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("id")))).alias(
+            "members_md5"
+        ),
+    )
+
+
+def q_media_audit(spark, sf_dir):
+    # multimodal audit, one row per media item: typed metadata + payload
+    # embedding CSV + per-video sampled-frame stats (formerly three
+    # queries). Frame means compare as exact integers (x1e4), the repo's
+    # integer-cents convention for cross-engine float sums.
+    from fineweb_legal_spark.datasets import ensure_media
+    from fineweb_legal_spark.operators.multimodal import (
+        fake_embedding,
+        media_meta,
+        sample_frames,
+    )
+
+    m = spark.read.parquet(str(ensure_media("t1")))
+    meta = media_meta(m)
+    emb = fake_embedding(m, dim=16).select(
+        "media_id",
+        F.concat_ws(
+            ",", F.transform("embedding", lambda x: F.format_string("%.6f", x))
+        ).alias("emb_csv"),
+    )
+    frames = (
+        sample_frames(m, every_n=2)
+        .groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            F.sum("frame_bytes").alias("frames_bytes"),
+            F.sum(F.round(F.col("frame_mean") * 10000).cast("long")).alias(
+                "frame_mean_e4"
+            ),
+        )
+    )
+    return (
+        meta.join(emb, "media_id")
+        .join(frames, "media_id", "left")
+        .withColumn(
+            "n_frames_sampled",
+            F.coalesce("n_frames_sampled", F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "frames_bytes", F.coalesce("frames_bytes", F.lit(0).cast("long"))
+        )
+        .withColumn(
+            "frame_mean_e4", F.coalesce("frame_mean_e4", F.lit(0).cast("long"))
+        )
+    )
+
+
+def q_validate_t2_all(spark, sf_dir):
+    # verdict-quality checks + transcript protocol checks, config-tagged
+    # on the harmonized (check, ok, n) shape
+    v = q_validate_t2(spark, sf_dir).select("check", "ok", "n")
+    s = q_validate_structure_t2(spark, sf_dir).select(
+        "check",
+        (F.col("violations") == 0).alias("ok"),
+        F.col("violations").alias("n"),
+    )
+    return _tag(v, "verdicts").unionByName(_tag(s, "structure"))
+
+
+def q_lsh_ann_union(spark, sf_dir):
+    # LSH ANN at both quantizer configurations + multi-probe (the recall
+    # lever), config-tagged — one driver row proves all three
+    return (
+        _tag(q_lsh_ann_topk(spark, sf_dir), "p6")
+        .unionByName(_tag(q_lsh_ann_topk_p8(spark, sf_dir), "p8"))
+        .unionByName(_tag(q_lsh_ann_topk_mp(spark, sf_dir), "p8_mp3"))
+    )
+
+
+def q_ivf_ann_union(spark, sf_dir):
+    # IVF ANN at both cell counts + the k-means-trained quantizer
+    return (
+        _tag(q_ivf_ann_topk(spark, sf_dir), "c16")
+        .unionByName(_tag(q_ivf_ann_topk_c64(spark, sf_dir), "c64"))
+        .unionByName(_tag(q_ivf_ann_topk_trained(spark, sf_dir), "trained_c16"))
+    )
+
+
+def q_embedding_neardup_union(spark, sf_dir):
+    # embedding-cosine near-dup pairs at both plane counts
+    return _tag(q_embedding_neardup(spark, sf_dir), "p6").unionByName(
+        _tag(q_embedding_neardup_p8(spark, sf_dir), "p8")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order is the driver's sweep order, and the driver's sweep
-    has a time budget (round 2 covered only the first 50 entries). Order:
-    (1) the flagship pipeline group — most expensive single build (cold
-    codegen + session cache), but its three siblings then cost ~1s each;
-    (2) everything cheap, ascending by measured cost, so a budget cut
-    loses the fewest rows; (3) the heavier tails grouped by shared session
-    cache (embedding family, t1 near-dup family, media, web filter,
-    validate)."""
+    """Registry == the driver's sweep set (47 entries, within the 50-query
+    sweep budget, so every entry earns a driver correctness row each
+    round). Order: (1) the flagship pipeline group — the expensive shared
+    t2 verdict cache its siblings (incl. validate_t2) then reuse at ~1 s
+    each; (2) the web pair (shared webdocs); (3) the families the old
+    budget-ordered registry never surfaced to the driver in rounds 1-3,
+    FIRST, so if a budget cut ever returns it trims the freshest evidence
+    instead of the stalest; (4) the cheap singles."""
     return {
         # flagship pipeline (shared session cache)
         "pipeline_verdicts": q_pipeline_verdicts,
@@ -1097,82 +1403,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_ppl_histogram": q_pipeline_ppl_histogram,
         "pipeline_kept_text": q_pipeline_kept_text,
         "pipeline_scrub_counts": q_pipeline_scrub_counts,
-        # cheap single-table / join / window queries (sub-second to ~3s)
-        "length_filter_docs": q_length_filter_docs,
-        "derived_columns_docs": q_derived_columns_docs,
-        "token_estimate_docs": q_token_estimate_docs,
-        "dedup_exact_docs": q_dedup_exact_docs,
-        "top_sources_docs": q_top_sources_docs,
-        "distinct_sources_docs": q_distinct_sources_docs,
-        "word_char_totals_docs": q_word_char_totals_docs,
-        "event_type_counts": q_event_type_counts,
-        "value_percentiles_events": q_value_percentiles_events,
-        "class_weights_events": q_class_weights_events,
-        "dup_user_events": q_dup_user_events,
-        "json_extract_events": q_json_extract_events,
-        "window_first_events": q_window_first_events,
-        "semi_join_customers": q_semi_join_customers,
-        "anti_join_customers": q_anti_join_customers,
-        "union_by_name_docs": q_union_by_name_docs,
-        "intersect_hashes_docs": q_intersect_hashes_docs,
-        "top_k_orders": q_top_k_orders,
-        "sum_avg_lineitem": q_sum_avg_lineitem,
-        "tier_splits_events": q_tier_splits_events,
-        "revenue_by_nation": q_revenue_by_nation,
-        "event_gaps_users": q_event_gaps_users,
-        "domain_topk_web": q_domain_topk_web,
-        "approx_percentiles_events": q_approx_percentiles_events,
-        "truncate_docs": q_truncate_docs,
-        "hash_sample_docs": q_hash_sample_docs,
-        "value_stats_events": q_value_stats_events,
-        "softmax_score_events": q_softmax_score_events,
-        "pivot_event_type_counts": q_pivot_event_type_counts,
-        "sessionize_events": q_sessionize_events,
-        "tier_stats_events": q_tier_stats_events,
-        "stratified_sample_docs": q_stratified_sample_docs,
-        "hourly_event_counts": q_hourly_event_counts,
-        "asof_last_click_events": q_asof_last_click_events,
-        "approx_distinct_users_events": q_approx_distinct_users_events,
-        "embedding_topk_cosine": q_embedding_topk_cosine,
-        "range_join_bands_events": q_range_join_bands_events,
-        "split_counts_docs": q_split_counts_docs,
-        "jaccard_exact_docs": q_jaccard_exact_docs,
-        "rollup_event_user": q_rollup_event_user,
-        # embedding/ANN family (shared plane/centroid/codebook exports)
-        "embedding_neardup": q_embedding_neardup,
-        "embedding_neardup_p8": q_embedding_neardup_p8,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "lsh_ann_topk_p8": q_lsh_ann_topk_p8,
-        "lsh_ann_topk_mp": q_lsh_ann_topk_mp,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "ivf_ann_topk_c64": q_ivf_ann_topk_c64,
-        "ivf_ann_topk_trained": q_ivf_ann_topk_trained,
-        "pq_ann_topk": q_pq_ann_topk,
-        # text-analysis + packing
-        "mixture_sample_docs": q_mixture_sample_docs,
-        "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
-        "strip_boilerplate_t1": q_strip_boilerplate_t1,
-        "decontaminate_docs": q_decontaminate_docs,
-        "langid_docs": q_langid_docs,
-        "quality_score_docs": q_quality_score_docs,
-        "fingerprint_docs": q_fingerprint_docs,
-        "token_counts_docs": q_token_counts_docs,
-        "pack_conversations_t1": q_pack_conversations_t1,
-        # media (shared t1 media table)
-        "media_meta": q_media_meta,
-        "media_frame_sample": q_media_frame_sample,
-        "media_embeddings": q_media_embeddings,
-        # t1 near-dup family (shared MinHash pair cache)
-        "minhash_neardup_t1": q_minhash_neardup_t1,
-        "dedup_clusters_t1": q_dedup_clusters_t1,
-        "dedup_cluster_stats_t1": q_dedup_cluster_stats_t1,
-        "simhash_neardup_t1": q_simhash_neardup_t1,
+        "validate_t2": q_validate_t2_all,
         # web filter (shared t2 webdocs + golden)
         "web_filter_verdicts": q_web_filter_verdicts,
         "web_stage_counts": q_web_stage_counts,
-        # heaviest single query last
-        "validate_structure_t2": q_validate_structure_t2,
-        "validate_t2": q_validate_t2,
+        # families never driver-swept in rounds 1-3: freshest-first
+        "text_analysis_docs": q_text_analysis_docs,
+        "media_audit": q_media_audit,
+        "pack_conversations_t1": q_pack_conversations_t1,
+        "strip_boilerplate_t1": q_strip_boilerplate_t1,
+        "neardup_pairs": q_neardup_pairs,
+        "dedup_clusters_t1": q_dedup_clusters_rollup_t1,
+        "mixture_sample_docs": q_mixture_sample_docs,
+        "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
+        "decontaminate_docs": q_decontaminate_docs,
+        # embedding/ANN family (shared plane/centroid/codebook exports)
+        "ivf_ann_topk": q_ivf_ann_union,
+        "pq_ann_topk": q_pq_ann_topk,
+        "lsh_ann_topk": q_lsh_ann_union,
+        "embedding_neardup": q_embedding_neardup_union,
+        "embedding_topk_cosine": q_embedding_topk_cosine,
+        # documents
+        "length_filter_docs": q_length_filter_docs,
+        "doc_transforms_docs": q_doc_transforms_docs,
+        "dedup_exact_docs": q_dedup_exact_docs,
+        "topk_groups": q_topk_groups,
+        "corpus_totals_docs": q_corpus_totals_docs,
+        "sample_audit_docs": q_sample_audit_docs,
+        "splits_and_tiers": q_splits_and_tiers,
+        "union_by_name_docs": q_union_by_name_docs,
+        "intersect_hashes_docs": q_intersect_hashes_docs,
+        # events
+        "value_stats_events": q_value_stats_events,
+        "class_weights_events": q_class_weights_events,
+        "dup_user_events": q_dup_user_events,
+        "json_softmax_events": q_json_softmax_events,
+        "window_events": q_window_events,
+        "sessionize_events": q_sessionize_events,
+        "hourly_event_counts": q_hourly_event_counts,
+        "rollup_event_user": q_rollup_event_user,
+        "pivot_event_type_counts": q_pivot_event_type_counts,
+        "asof_last_click_events": q_asof_last_click_events,
+        "range_join_bands_events": q_range_join_bands_events,
+        "tier_stats_events": q_tier_stats_events,
+        # TPC-shaped
+        "customer_order_joins": q_customer_order_joins,
+        "top_k_orders": q_top_k_orders,
+        "sum_avg_lineitem": q_sum_avg_lineitem,
+        "revenue_by_nation": q_revenue_by_nation,
     }
 
 
@@ -1200,7 +1478,10 @@ def _mixture_oracle_sql() -> str:
     """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_base() -> dict[str, str]:
+    """Per-variant oracle SQL — the building blocks oracle_sql() composes
+    into the consolidated registry's entries (and the local verification
+    surface for the per-variant builders)."""
     golden = _golden_sql_path()
     # make sure web golden exists too (used by tests; harmless here)
     ensure_web_golden("t2")
@@ -2168,3 +2449,217 @@ def oracle_sql() -> dict[str, str]:
                    FROM m
         """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    """Consolidated-registry oracles: one entry per queries() key,
+    composed from the per-variant SQL in _oracle_base() — tagged UNION
+    ALLs for configuration families, joins/flat aggregates for the wide
+    single-pass frames. Column names match the Spark side exactly (the
+    driver's hash compare sorts columns by name)."""
+    b = _oracle_base()
+
+    def tagged(*pairs: tuple[str, str]) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT '{t}' AS config, * FROM ({s})" for t, s in pairs
+        )
+
+    o = {
+        k: b[k]
+        for k in (
+            "pipeline_verdicts",
+            "pipeline_stage_metrics",
+            "pipeline_ppl_histogram",
+            "pipeline_kept_text",
+            "pipeline_scrub_counts",
+            "web_filter_verdicts",
+            "web_stage_counts",
+            "pack_conversations_t1",
+            "strip_boilerplate_t1",
+            "mixture_sample_docs",
+            "tfidf_top_terms_docs",
+            "decontaminate_docs",
+            "pq_ann_topk",
+            "embedding_topk_cosine",
+            "length_filter_docs",
+            "dedup_exact_docs",
+            "union_by_name_docs",
+            "intersect_hashes_docs",
+            "class_weights_events",
+            "dup_user_events",
+            "sessionize_events",
+            "hourly_event_counts",
+            "rollup_event_user",
+            "pivot_event_type_counts",
+            "asof_last_click_events",
+            "range_join_bands_events",
+            "tier_stats_events",
+            "top_k_orders",
+            "sum_avg_lineitem",
+            "revenue_by_nation",
+        )
+    }
+
+    # configuration families: tagged unions of the per-variant oracles.
+    # cos_sim is re-rounded through DOUBLE in each branch: branches that
+    # compute over DuckDB FLOAT[] embeddings emit FLOAT32, whose shortest
+    # repr matches standalone but whose UNION-promoted DOUBLE widens the
+    # fp32 error into the value hash.
+    def ann_branch(sql: str) -> str:
+        return (
+            "SELECT query_id, vec_id, rank,"
+            " round(CAST(cos_sim AS DOUBLE), 4) AS cos_sim"
+            f" FROM ({sql})"
+        )
+
+    o["lsh_ann_topk"] = tagged(
+        ("p6", ann_branch(b["lsh_ann_topk"])),
+        ("p8", ann_branch(b["lsh_ann_topk_p8"])),
+        ("p8_mp3", ann_branch(b["lsh_ann_topk_mp"])),
+    )
+    o["ivf_ann_topk"] = tagged(
+        ("c16", ann_branch(b["ivf_ann_topk"])),
+        ("c64", ann_branch(b["ivf_ann_topk_c64"])),
+        ("trained_c16", ann_branch(b["ivf_ann_topk_trained"])),
+    )
+    o["embedding_neardup"] = tagged(
+        (
+            "p6",
+            "SELECT id_a, id_b, round(CAST(cos_sim AS DOUBLE), 4) AS cos_sim"
+            f" FROM ({b['embedding_neardup']})",
+        ),
+        (
+            "p8",
+            "SELECT id_a, id_b, round(CAST(cos_sim AS DOUBLE), 4) AS cos_sim"
+            f" FROM ({b['embedding_neardup_p8']})",
+        ),
+    )
+    o["customer_order_joins"] = tagged(
+        ("semi", b["semi_join_customers"]),
+        ("anti", b["anti_join_customers"]),
+    )
+    o["neardup_pairs"] = tagged(
+        (
+            "minhash_t1",
+            f"SELECT id_a, id_b, jaccard AS score"
+            f" FROM ({b['minhash_neardup_t1']})",
+        ),
+        (
+            "simhash_t1",
+            f"SELECT id_a, id_b, CAST(hamming AS DOUBLE) AS score"
+            f" FROM ({b['simhash_neardup_t1']})",
+        ),
+        (
+            "jaccard_docs",
+            f"SELECT id_a, id_b, jaccard AS score"
+            f" FROM ({b['jaccard_exact_docs']})",
+        ),
+    )
+    o["sample_audit_docs"] = tagged(
+        ("hash1", f"SELECT doc_id FROM ({b['hash_sample_docs']})"),
+        ("strat5", f"SELECT doc_id FROM ({b['stratified_sample_docs']})"),
+    )
+    o["validate_t2"] = (
+        f'SELECT \'verdicts\' AS config, "check", ok, n'
+        f" FROM ({b['validate_t2']})"
+        "\nUNION ALL\n"
+        f'SELECT \'structure\' AS config, "check", violations = 0 AS ok,'
+        f" violations AS n FROM ({b['validate_structure_t2']})"
+    )
+    o["splits_and_tiers"] = (
+        f"SELECT 'split' AS config, split AS key, docs AS n"
+        f" FROM ({b['split_counts_docs']})"
+        "\nUNION ALL\n"
+        f"SELECT 'tier' AS config, k AS key, n FROM ("
+        f"WITH t AS ({b['tier_splits_events']})"
+        " SELECT 'tier_default' AS k, tier_default AS n FROM t"
+        " UNION ALL SELECT 'tier_high', tier_high FROM t"
+        " UNION ALL SELECT 'tier_supreme', tier_supreme FROM t)"
+    )
+    o["topk_groups"] = (
+        f"SELECT 'doc_sources' AS config, source AS key, docs"
+        f" FROM ({b['top_sources_docs']})"
+        "\nUNION ALL\n"
+        f"SELECT 'web_domains' AS config, domain AS key, docs"
+        f" FROM ({b['domain_topk_web']})"
+    )
+
+    # wide single-pass frames: joins / flat aggregates over the variants
+    o["doc_transforms_docs"] = f"""
+        SELECT d.doc_id, d.char_length, d.word_count, t.tok_est, r.truncated
+        FROM ({b['derived_columns_docs']}) d
+        JOIN ({b['token_estimate_docs']}) t USING (doc_id)
+        JOIN ({b['truncate_docs']}) r ON r.doc_id = d.doc_id
+    """
+    o["corpus_totals_docs"] = (
+        f"SELECT * FROM ({b['distinct_sources_docs']})"
+        f" CROSS JOIN ({b['word_char_totals_docs']})"
+    )
+    o["text_analysis_docs"] = f"""
+        SELECT l.doc_id, l.pred_lang, q.quality_score, f.fingerprint,
+               t.ws_tokens, t.bpe_ish_tokens
+        FROM ({b['langid_docs']}) l
+        JOIN ({b['quality_score_docs']}) q USING (doc_id)
+        JOIN ({b['fingerprint_docs']}) f ON f.doc_id = l.doc_id
+        JOIN ({b['token_counts_docs']}) t ON t.doc_id = l.doc_id
+    """
+    o["json_softmax_events"] = f"""
+        SELECT j.event_id, j.k, s.score, s.label, s.is_legal
+        FROM ({b['json_extract_events']}) j
+        JOIN ({b['softmax_score_events']}) s USING (event_id)
+    """
+    o["window_events"] = """
+        SELECT user_id, rn, event_id, gap_s FROM (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                 - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+          FROM events
+        ) WHERE rn <= 3
+    """
+    o["value_stats_events"] = """
+        SELECT round(min(value), 4) AS v_min,
+               round(max(value), 4) AS v_max,
+               round(avg(value), 4) AS v_avg,
+               round(stddev_samp(value), 4) AS v_std,
+               round(quantile_cont(value, 0.50), 4) AS p50,
+               round(quantile_cont(value, 0.75), 4) AS p75,
+               round(quantile_cont(value, 0.90), 4) AS p90,
+               round(quantile_cont(value, 0.95), 4) AS p95,
+               round(quantile_cont(value, 0.99), 4) AS p99,
+               round(quantile_disc(value, 0.50), 4) AS ap50,
+               round(quantile_disc(value, 0.75), 4) AS ap75,
+               round(quantile_disc(value, 0.90), 4) AS ap90,
+               round(quantile_disc(value, 0.95), 4) AS ap95,
+               round(quantile_disc(value, 0.99), 4) AS ap99,
+               count(DISTINCT user_id) AS n_users_exact,
+               TRUE AS hll_within_band
+        FROM events
+    """
+    o["dedup_clusters_t1"] = f"""
+        SELECT cluster_id, count(*) AS n_members,
+               count(*) - 1 AS n_removed,
+               md5(string_agg(id, ',' ORDER BY id)) AS members_md5
+        FROM ({b['dedup_clusters_t1']}) GROUP BY cluster_id
+    """
+    o["media_audit"] = f"""
+        WITH m AS ({b['media_meta']}),
+        e AS ({b['media_embeddings']}),
+        f AS (
+          SELECT media_id,
+                 count(*) AS n_frames_sampled,
+                 CAST(sum(frame_bytes) AS BIGINT) AS frames_bytes,
+                 CAST(sum(CAST(round(frame_mean * 10000) AS BIGINT))
+                      AS BIGINT) AS frame_mean_e4
+          FROM ({b['media_frame_sample']}) GROUP BY media_id
+        )
+        SELECT m.media_id, m.kind, m.width, m.height, m.channels, m.frames,
+               m.n_bytes, e.emb_csv,
+               coalesce(f.n_frames_sampled, 0) AS n_frames_sampled,
+               coalesce(f.frames_bytes, 0) AS frames_bytes,
+               coalesce(f.frame_mean_e4, 0) AS frame_mean_e4
+        FROM m JOIN e USING (media_id) LEFT JOIN f USING (media_id)
+    """
+    return o

@@ -292,8 +292,20 @@ def main() -> None:
         if budget.exceeded():
             RESULT["queries"][name] = None
             continue
+        # headline numbers are STEADY-STATE (second execution of the same
+        # plan): the first run pays one-time Janino codegen + session-cache
+        # builds, which a cluster job amortizes — trending the cold number
+        # round-over-round tracked codegen noise, not plan quality
+        # (round-3 verdict). Cold wall-clock is kept in queries_cold.
+        fn = qs.get(name) or getattr(entrymod, f"q_{name}")
+        df = fn(spark, sf_dir)
         t0 = time.time()
-        _count(qs[name](spark, sf_dir))
+        _count(df)
+        RESULT.setdefault("queries_cold", {})[name] = round(
+            time.time() - t0, 2
+        )
+        t0 = time.time()
+        _count(fn(spark, sf_dir))
         el = time.time() - t0
         RESULT["queries"][name] = round(el, 2)
         total += el

@@ -63,12 +63,22 @@ _LANGID_SCHEMA_SUFFIX = [T.StructField("pred_lang", T.StringType())]
 
 
 def predict_language(
-    spark: SparkSession, df: DataFrame, id_col: str, text_col: str = "text"
+    spark: SparkSession,
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, pred_lang) via the broadcast hashed-trigram classifier."""
+    """(id, *keep_cols, pred_lang) via the broadcast hashed-trigram
+    classifier. ``keep_cols`` are scalar columns passed through the Arrow
+    batch unchanged — the way to combine langid with native projections in
+    ONE pass (no join back on id, no second scan); only scalars belong
+    here, never the text column."""
     bc = spark.sparkContext.broadcast(get_artifacts())
     schema = T.StructType(
-        [df.schema[id_col], T.StructField("pred_lang", T.StringType())]
+        [df.schema[id_col]]
+        + [df.schema[c] for c in keep_cols]
+        + [T.StructField("pred_lang", T.StringType())]
     )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -84,9 +94,15 @@ def predict_language(
                 batch_preds = arts.predict_lang_batch([texts[i] for i in idx])
                 for j, i in enumerate(idx):
                     preds[i] = batch_preds[j]
-            yield pd.DataFrame({id_col: pdf[id_col], "pred_lang": preds})
+            out = {id_col: pdf[id_col]}
+            for c in keep_cols:
+                out[c] = pdf[c]
+            out["pred_lang"] = preds
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, text_col).mapInPandas(fn, schema=schema)
+    return df.select(id_col, text_col, *keep_cols).mapInPandas(
+        fn, schema=schema
+    )
 
 
 def tfidf_top_terms(
