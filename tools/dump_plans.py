@@ -76,6 +76,25 @@ PICKS = {
         "Filter + 1-column projection: must show PushedFilters and a pruned "
         "ReadSchema at the parquet scan, zero shuffles."
     ),
+    "text_analysis_docs": (
+        "Round-4 consolidation shape: langid + quality + fingerprint + "
+        "token counts in ONE scan — the native projections compute below "
+        "the Arrow langid UDF, which passes the scalar columns through "
+        "(keep_cols). The audit point: one MapInPandas, NO join back on "
+        "doc_id, no second scan of the corpus."
+    ),
+    "value_stats_events": (
+        "Round-4 consolidation shape: moments + exact percentile + "
+        "Greenwald-Khanna sketch + exact and HLL count-distinct in ONE "
+        "aggregation pass (partial_ aggregates visible below a single "
+        "exchange) where round 3 spent four separate scans."
+    ),
+    "strip_boilerplate_t1": (
+        "Line doc-frequency aggregate -> runtime broadcast-vs-shuffle "
+        "decision for the strip join (one count on the tiny aggregated "
+        "common-line frame); the corpus-side strip pass is shuffle-free "
+        "except the per-doc reassembly group."
+    ),
 }
 
 
