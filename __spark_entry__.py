@@ -1349,6 +1349,18 @@ def q_media_audit(spark, sf_dir):
     )
 
 
+def q_scrub_repeated_spans_docs(spark, sf_dir):
+    # exact-substring dedup (Lee et al. 2022): any 8-word gram occurring
+    # in >= 2 distinct documents is masked out of every document's
+    # normalized token stream (operators/spandedup.py) — the dedup family
+    # member that removes repeated SPANS instead of whole documents
+    from fineweb_legal_spark.operators.spandedup import scrub_repeated_spans
+
+    return scrub_repeated_spans(
+        _t(spark, sf_dir, "documents"), n=8, min_docs=2
+    )
+
+
 def q_validate_t2_all(spark, sf_dir):
     # verdict-quality checks + transcript protocol checks, config-tagged
     # on the harmonized (check, ok, n) shape
@@ -1417,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": q_mixture_sample_docs,
         "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
         "decontaminate_docs": q_decontaminate_docs,
+        "scrub_repeated_spans_docs": q_scrub_repeated_spans_docs,
         # embedding/ANN family (shared plane/centroid/codebook exports)
         "ivf_ann_topk": q_ivf_ann_union,
         "pq_ann_topk": q_pq_ann_topk,
@@ -2637,6 +2650,54 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT user_id) AS n_users_exact,
                TRUE AS hll_within_band
         FROM events
+    """
+    o["scrub_repeated_spans_docs"] = """
+        WITH words AS (
+          SELECT doc_id,
+                 list_filter(
+                     regexp_split_to_array(lower(text), '[ \t\n\r\f\x0b]+'),
+                     x -> x <> '') AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        grams AS (
+          SELECT doc_id, i AS pos, array_to_string(w[i : i + 7], ' ') AS gram
+          FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+                FROM words WHERE len(w) >= 8)
+        ),
+        common AS (
+          SELECT gram FROM (
+            SELECT gram, count(DISTINCT doc_id) AS df_ FROM grams GROUP BY gram
+          ) WHERE df_ >= 2
+        ),
+        hits AS (
+          SELECT DISTINCT g.doc_id, g.pos FROM grams g JOIN common USING (gram)
+        ),
+        masked AS (
+          SELECT DISTINCT doc_id, widx FROM (
+            SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS widx
+            FROM hits
+          )
+        ),
+        tok AS (
+          SELECT doc_id, unnest(w) AS word,
+                 unnest(generate_series(1, len(w))) AS idx
+          FROM words
+        ),
+        kept AS (
+          SELECT t.doc_id,
+                 coalesce(string_agg(t.word, ' ' ORDER BY t.idx)
+                          FILTER (m.widx IS NULL), '') AS clean_text,
+                 CAST(count(*) FILTER (m.widx IS NOT NULL) AS INTEGER)
+                     AS n_masked
+          FROM tok t LEFT JOIN masked m
+            ON m.doc_id = t.doc_id AND m.widx = t.idx
+          GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE coalesce(k.clean_text, '') END AS clean_text,
+               CAST(coalesce(k.n_masked, 0) AS INTEGER) AS n_masked
+        FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
     """
     o["dedup_clusters_t1"] = f"""
         SELECT cluster_id, count(*) AS n_members,

@@ -1,0 +1,186 @@
+"""Cross-document repeated-span masking (exact substring dedup).
+
+The dedup family's remaining member next to exact-hash, MinHash, SimHash,
+n-gram Jaccard, and embedding-cosine: instead of dropping WHOLE near-dup
+documents, this removes the REPEATED SPANS themselves — any n-word gram
+occurring in >= min_docs distinct documents is masked out of every
+document containing it (Lee et al. 2022, "Deduplicating Training Data
+Makes Language Models Better"; the FineWeb pipelines apply the same idea
+as exact-substring dedup). Catches templated paragraphs, licence blocks,
+and quoted chain-letters that survive document-level dedup because the
+surrounding text differs. No reference analog — a training-data toolkit
+op.
+
+Semantics: text is viewed through the dedup normalization (lowercase +
+ASCII-whitespace tokens, the same boundary as decontam/the DuckDB
+oracles); output ``clean_text`` is the normalized token stream with every
+word covered by ANY repeated gram removed, single-space joined, original
+order preserved. Overlapping repeated grams union their intervals.
+
+Scale shape (10^12-row corpus):
+- gram frequency reuses decontam's VECTORIZED kernel (crc32/word +
+  uint64-Horner rolling hash, per-doc distinct): the exchange carries
+  (gram_hash, doc) pairs, map-side combinable, never text;
+- the repeated-gram set joins back against a (doc, pos, gram_hash)
+  position stream; broadcast vs shuffle is DECIDED AT RUN TIME from one
+  count on the aggregated set (same policy as boilerplate.strip_common_
+  lines). At min_docs=2 on a pathological corpus the set is large —
+  the shuffle path carries only (id, pos) pairs, never text;
+- masking itself is one Arrow pass over (text, hit positions): interval
+  union + rebuild is linear per document.
+
+Trade note: true suffix-array substring dedup (Lee et al.'s
+implementation) finds MAXIMAL repeats of any length; fixed-n gram masking
+is the bounded-memory distributed approximation (a repeat of length
+L >= n is covered by its L - n + 1 constituent grams, so any >= n-word
+repeat is fully masked; repeats shorter than n survive).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .decontam import _BASE, ascii_words, ngram_hashes
+
+_GRAM_POS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("gram", T.LongType()),
+    ]
+)
+
+_SCRUB_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("clean_text", T.StringType()),
+        T.StructField("n_masked", T.IntegerType()),
+    ]
+)
+
+
+def _all_gram_hashes(words: list[str], n: int) -> np.ndarray:
+    """Positional 64-bit rolling gram hashes (every position, not
+    deduplicated — the positions are the point)."""
+    import zlib
+
+    wh = np.fromiter(
+        (zlib.crc32(w.encode("utf-8")) for w in words),
+        dtype=np.uint64,
+        count=len(words),
+    )
+    m = len(words) - n + 1
+    g = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        g = g * _BASE + wh[j : j + m]
+    return g
+
+
+def _gram_pos_fn(n: int, id_col: str, text_col: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[np.ndarray] = []
+            poss: list[np.ndarray] = []
+            grams: list[np.ndarray] = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                w = ascii_words(text)
+                if len(w) < n:
+                    continue
+                g = _all_gram_hashes(w, n)
+                ids.append(np.full(len(g), int(rid), dtype=np.int64))
+                poss.append(np.arange(len(g), dtype=np.int32))
+                grams.append(g.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(ids),
+                        "pos": np.concatenate(poss),
+                        "gram": np.concatenate(grams),
+                    }
+                )
+
+    return fn
+
+
+def _mask_fn(n: int, id_col: str, text_col: str):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id: list[int] = []
+            out_text: list[str | None] = []
+            out_n: list[int] = []
+            for rid, text, hits in zip(
+                pdf[id_col], pdf[text_col], pdf["hit_positions"]
+            ):
+                out_id.append(int(rid))
+                if text is None:
+                    out_text.append(None)
+                    out_n.append(0)
+                    continue
+                w = ascii_words(text)
+                if hits is None or len(hits) == 0:
+                    out_text.append(" ".join(w))
+                    out_n.append(0)
+                    continue
+                covered = np.zeros(len(w), dtype=bool)
+                for p in hits:
+                    covered[int(p) : int(p) + n] = True
+                kept = [x for x, c in zip(w, covered) if not c]
+                out_text.append(" ".join(kept))
+                out_n.append(int(covered.sum()))
+            yield pd.DataFrame(
+                {
+                    "id": out_id,
+                    "clean_text": pd.array(out_text, dtype=object),
+                    "n_masked": np.array(out_n, dtype=np.int32),
+                }
+            )
+
+    return fn
+
+
+def scrub_repeated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 2_000_000,
+) -> DataFrame:
+    """(doc_id, clean_text, n_masked): every document with all words
+    covered by a cross-document repeated n-gram (document frequency >=
+    ``min_docs``) removed from its normalized token stream."""
+    # frequency over per-doc-DISTINCT grams (decontam's vectorized kernel)
+    freq = (
+        ngram_hashes(docs, id_col, text_col, n)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    common = freq.filter(F.col("_df") >= min_docs).select("gram")
+    common = common.persist()
+    n_common = common.count()
+    join_side = (
+        F.broadcast(common) if n_common <= broadcast_limit else common
+    )
+
+    gram_pos = docs.select(id_col, text_col).mapInPandas(
+        _gram_pos_fn(n, id_col, text_col), schema=_GRAM_POS_SCHEMA
+    )
+    hitlists = (
+        gram_pos.join(join_side, "gram")
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("hit_positions"))
+    )
+    joined = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias(text_col)
+    ).join(hitlists, "id", "left")
+    return joined.mapInPandas(
+        _mask_fn(n, "id", text_col), schema=_SCRUB_SCHEMA
+    ).withColumnRenamed("id", id_col)

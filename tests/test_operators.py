@@ -579,3 +579,32 @@ def test_transcript_structure_checks_planted(spark):
         "conv_opens_with_tool_or_assistant": 1,
         "turn_idx_gap": 1,
     }
+
+
+def test_scrub_repeated_spans_planted(spark):
+    from fineweb_legal_spark.operators.spandedup import scrub_repeated_spans
+
+    span = "all rights reserved this text is a canned licence block here"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {span} gamma delta"),
+            (2, f"{span} unrelated tail words"),
+            (3, "independent document with no repeats at all ok"),
+            (4, span),          # nothing but the span -> ''
+            (5, None),          # null text -> null
+            (6, "short text"),  # < n words -> normalized passthrough
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_masked"])
+        for r in scrub_repeated_spans(docs, n=8, min_docs=2).collect()
+    }
+    # the 11-word span occurs in docs 1, 2, 4; its constituent 8-grams all
+    # have df >= 2, so the whole span is masked wherever it appears
+    assert got[1] == ("alpha beta gamma delta", 11)
+    assert got[2] == ("unrelated tail words", 11)
+    assert got[3] == ("independent document with no repeats at all ok", 0)
+    assert got[4] == ("", 11)
+    assert got[5] == (None, 0)
+    assert got[6] == ("short text", 0)

@@ -158,3 +158,19 @@ def test_tfidf_construction_launches_zero_jobs(spark, queries):
     after = set(tracker.getJobIdsForGroup(None))
     assert after == before, "tfidf plan construction ran a Spark job"
     assert df.schema is not None
+
+
+def test_registry_fits_driver_budget_and_has_oracle_parity():
+    # the driver's correctness sweep covers at most 50 queries; a larger
+    # registry silently shadows its own tail (the round-1..3 failure mode).
+    # every queries() entry must have a matching oracle_sql() entry so the
+    # driver's gate can hash-compare it.
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) <= 50, f"registry has {len(q)} entries; driver sweeps 50"
+    assert set(q) == set(o), (
+        f"queries/oracle key mismatch: only-queries={sorted(set(q) - set(o))} "
+        f"only-oracle={sorted(set(o) - set(q))}"
+    )

@@ -95,6 +95,13 @@ PICKS = {
         "common-line frame); the corpus-side strip pass is shuffle-free "
         "except the per-doc reassembly group."
     ),
+    "scrub_repeated_spans_docs": (
+        "Exact-substring dedup (round 4): gram doc-frequency over the "
+        "vectorized rolling-hash stream (exchange carries (gram_hash, "
+        "doc) pairs), repeated set joined back broadcast-or-shuffle at "
+        "run time, hit positions aggregated per doc as (id, pos) pairs — "
+        "text crosses the wire exactly once, into the final mask pass."
+    ),
 }
 
 
