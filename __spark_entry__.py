@@ -1028,12 +1028,14 @@ def q_truncate_docs(spark, sf_dir):
 
 def q_value_stats_events(spark, sf_dir):
     # A5 describe()-style stats + A6 exact AND sketch percentiles + A8
-    # exact/HLL count-distinct — ONE single-pass aggregate (every term is
-    # map-side combinable: min/max/avg/stddev moments, the exact
-    # percentile's sort-merge, the Greenwald-Khanna sketch, HLL++), where
-    # round 3 spent four separate scans. ap* = percentile_approx; at gate
-    # scale its high-accuracy output equals the discrete order statistic
-    # (DuckDB quantile_disc); hll_within_band = estimate within 3x rsd.
+    # exact/HLL count-distinct — ONE aggregation (one scan where round 3
+    # spent four). Plan shape: two exchanges, because the exact
+    # countDistinct forces Spark's Expand-based two-stage distinct
+    # aggregate; every other term (moments, exact percentile sort-merge,
+    # Greenwald-Khanna sketch, HLL++) is map-side combinable within it.
+    # ap* = percentile_approx; at gate scale its high-accuracy output
+    # equals the discrete order statistic (DuckDB quantile_disc);
+    # hll_within_band = estimate within 3x rsd.
     e = _t(spark, sf_dir, "events")
     pct = F.percentile(
         "value", F.array(*[F.lit(x) for x in (0.5, 0.75, 0.9, 0.95, 0.99)])
@@ -1400,9 +1402,9 @@ def q_embedding_neardup_union(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry == the driver's sweep set (47 entries, within the 50-query
+    """Registry == the driver's sweep set (48 entries, within the 50-query
     sweep budget, so every entry earns a driver correctness row each
-    round). Order: (1) the flagship pipeline group — the expensive shared
+    round; a pytest pins len(queries()) <= 50). Order: (1) the flagship pipeline group — the expensive shared
     t2 verdict cache its siblings (incl. validate_t2) then reuse at ~1 s
     each; (2) the web pair (shared webdocs); (3) the families the old
     budget-ordered registry never surfaced to the driver in rounds 1-3,

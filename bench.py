@@ -297,6 +297,9 @@ def main() -> None:
         # builds, which a cluster job amortizes — trending the cold number
         # round-over-round tracked codegen noise, not plan quality
         # (round-3 verdict). Cold wall-clock is kept in queries_cold.
+        # both timings execute the SAME DataFrame so neither includes
+        # plan construction (a re-built frame would fold Catalyst
+        # analysis — and any builder-side eager job — into steady only)
         fn = qs.get(name) or getattr(entrymod, f"q_{name}")
         df = fn(spark, sf_dir)
         t0 = time.time()
@@ -305,7 +308,7 @@ def main() -> None:
             time.time() - t0, 2
         )
         t0 = time.time()
-        _count(fn(spark, sf_dir))
+        _count(df)
         el = time.time() - t0
         RESULT["queries"][name] = round(el, 2)
         total += el

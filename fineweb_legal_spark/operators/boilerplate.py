@@ -17,11 +17,13 @@ Scale shape:
   corpus size (each common line consumes >= f*N of the N*avg (line,doc)
   pairs), whereas a fixed count's bound, corpus_lines / min_docs, grows
   linearly with the corpus (round-3 judge finding);
-- broadcast vs shuffle for the strip join is DECIDED AT RUN TIME from
-  one cheap count() on the already-aggregated common-line frame (the
-  same runtime-stats decision AQE makes): small set -> broadcast, the
-  strip pass shuffle-free on the corpus side; adversarially large set ->
-  shuffle join on the line key, never an OOM-risking driver collect;
+- broadcast vs shuffle for the strip join is a RUNTIME-STATS decision:
+  by default AQE reads the common-line set's actual size from the
+  shuffle stage and broadcasts iff it fits (no eager job, no cached
+  frame); an explicit ``broadcast_limit`` pins the choice by hand via
+  one count() on the aggregated frame — small set -> broadcast hint
+  (strip pass shuffle-free on the corpus side), adversarially large
+  set -> shuffle-hash hint, never an OOM-risking driver collect;
 - reassembly preserves original line order via the exploded position —
   an Arrow-batched grouped sort-join, linear per document. This ships
   every KEPT line through Python once; the JVM-native alternative
@@ -75,7 +77,7 @@ def strip_common_lines(
     min_docs: int | float,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_limit: int = 2_000_000,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """(id, clean_text): every document with its corpus-common lines
     removed, remaining lines in original order. Documents whose lines are
@@ -83,16 +85,27 @@ def strip_common_lines(
 
     ``min_docs``: an int is an absolute document-frequency threshold; a
     float in (0, 1) is a FRACTION of the corpus's non-null-text documents
-    (the scale-safe form — see module docstring). The common-line set is
-    broadcast when its count is <= ``broadcast_limit``, else joined by
-    shuffle on the line key."""
+    (the scale-safe form — see module docstring).
+
+    ``broadcast_limit=None`` (default) leaves the strip-join strategy to
+    AQE, which reads the common-line set's ACTUAL size from the shuffle
+    stats at run time and broadcasts iff it fits — no eager job, no
+    cached frame, and the same small-side decision this code would make
+    by hand. Pass an int to pin the choice explicitly: one count() on the
+    aggregated frame, then a broadcast hint (<= limit) or a shuffle-hash
+    hint (> limit, forcing the non-broadcast path — the adversarially-
+    large-set escape hatch and the testing hook); the explicit path
+    computes the aggregate twice (once for the count)."""
     freq = line_doc_frequency(docs, id_col, text_col)
     if isinstance(min_docs, float):
         if not 0.0 < min_docs < 1.0:
             raise ValueError(
                 f"fractional min_docs {min_docs} outside (0, 1)"
             )
-        # lazy one-row total, broadcast-cross-joined: no plan-build job
+        # lazy one-row total, broadcast-cross-joined: no plan-build job.
+        # The 1e-12 relative back-off keeps exact boundaries exact: with
+        # N*f computed in doubles, 1e6 * 0.1 = 100000.00000000001 and a
+        # bare ceil() would demand 100001 docs for a line in exactly 10%.
         n_total = docs.filter(F.col(text_col).isNotNull()).agg(
             F.count(F.lit(1)).alias("_n")
         )
@@ -100,7 +113,9 @@ def strip_common_lines(
             freq.crossJoin(F.broadcast(n_total))
             .filter(
                 F.col("n_docs")
-                >= F.ceil(F.col("_n") * F.lit(float(min_docs)))
+                >= F.ceil(
+                    F.col("_n") * F.lit(float(min_docs) * (1.0 - 1e-12))
+                )
             )
             .select("line", F.lit(True).alias("_common"))
         )
@@ -108,14 +123,15 @@ def strip_common_lines(
         common = freq.filter(F.col("n_docs") >= min_docs).select(
             "line", F.lit(True).alias("_common")
         )
-    # one cheap action on the tiny aggregated frame decides the physical
-    # join strategy (runtime stats, as AQE would); persist so the count
-    # and the strip join share one computation of the frequency aggregate
-    common = common.persist()
-    n_common = common.count()
-    strip_side = (
-        F.broadcast(common) if n_common <= broadcast_limit else common
-    )
+    if broadcast_limit is None:
+        strip_side = common
+    else:
+        n_common = common.count()
+        strip_side = (
+            F.broadcast(common)
+            if n_common <= broadcast_limit
+            else common.hint("shuffle_hash")
+        )
     lines = docs.select(
         F.col(id_col).cast("string").alias("id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),

@@ -76,10 +76,13 @@ def ascii_words(text: str) -> list[str]:
     return [w for w in _ASCII_WS.split(text.lower()) if w]
 
 
-def _rolling_gram_hashes(words: list[str], n: int) -> np.ndarray:
-    """Distinct 64-bit hashes of every n-word gram of ``words``: one crc32
-    per WORD, then Horner over n vectorized shifts — O(words) hash calls
-    + O(n) numpy ops, vs O(words * n) string/md5 work per-gram."""
+def rolling_gram_hash_stream(words: list[str], n: int) -> np.ndarray:
+    """POSITIONAL 64-bit hashes of every n-word gram of ``words`` (index i
+    = gram starting at word i): one crc32 per WORD, then Horner over n
+    vectorized shifts — O(words) hash calls + O(n) numpy ops, vs
+    O(words * n) string/md5 work per-gram. The single shared kernel for
+    every gram-based operator (decontam frequency/matching, spandedup
+    positions) — one definition, one hash identity."""
     wh = np.fromiter(
         (zlib.crc32(w.encode("utf-8")) for w in words),
         dtype=np.uint64,
@@ -89,7 +92,12 @@ def _rolling_gram_hashes(words: list[str], n: int) -> np.ndarray:
     g = np.zeros(m, dtype=np.uint64)
     for j in range(n):
         g = g * _BASE + wh[j : j + m]
-    return np.unique(g)
+    return g
+
+
+def _rolling_gram_hashes(words: list[str], n: int) -> np.ndarray:
+    """Per-document DISTINCT gram hashes (the frequency/matching view)."""
+    return np.unique(rolling_gram_hash_stream(words, n))
 
 
 def _gram_fn(n: int, id_col: str, text_col: str):

@@ -22,10 +22,11 @@ Scale shape (10^12-row corpus):
   uint64-Horner rolling hash, per-doc distinct): the exchange carries
   (gram_hash, doc) pairs, map-side combinable, never text;
 - the repeated-gram set joins back against a (doc, pos, gram_hash)
-  position stream; broadcast vs shuffle is DECIDED AT RUN TIME from one
-  count on the aggregated set (same policy as boilerplate.strip_common_
-  lines). At min_docs=2 on a pathological corpus the set is large —
-  the shuffle path carries only (id, pos) pairs, never text;
+  position stream; broadcast vs shuffle is a runtime-stats decision —
+  AQE's by default, or pinned by hand via ``broadcast_limit`` (same
+  policy as boilerplate.strip_common_lines). At min_docs=2 on a
+  pathological corpus the set is large — the shuffle path carries only
+  (id, pos) pairs, never text;
 - masking itself is one Arrow pass over (text, hit positions): interval
   union + rebuild is linear per document.
 
@@ -46,7 +47,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .decontam import _BASE, ascii_words, ngram_hashes
+from .decontam import ascii_words, ngram_hashes, rolling_gram_hash_stream
 
 _GRAM_POS_SCHEMA = T.StructType(
     [
@@ -65,23 +66,6 @@ _SCRUB_SCHEMA = T.StructType(
 )
 
 
-def _all_gram_hashes(words: list[str], n: int) -> np.ndarray:
-    """Positional 64-bit rolling gram hashes (every position, not
-    deduplicated — the positions are the point)."""
-    import zlib
-
-    wh = np.fromiter(
-        (zlib.crc32(w.encode("utf-8")) for w in words),
-        dtype=np.uint64,
-        count=len(words),
-    )
-    m = len(words) - n + 1
-    g = np.zeros(m, dtype=np.uint64)
-    for j in range(n):
-        g = g * _BASE + wh[j : j + m]
-    return g
-
-
 def _gram_pos_fn(n: int, id_col: str, text_col: str):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -94,7 +78,7 @@ def _gram_pos_fn(n: int, id_col: str, text_col: str):
                 w = ascii_words(text)
                 if len(w) < n:
                     continue
-                g = _all_gram_hashes(w, n)
+                g = rolling_gram_hash_stream(w, n)
                 ids.append(np.full(len(g), int(rid), dtype=np.int64))
                 poss.append(np.arange(len(g), dtype=np.int32))
                 grams.append(g.view(np.int64))
@@ -152,11 +136,16 @@ def scrub_repeated_spans(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_limit: int = 2_000_000,
+    broadcast_limit: int | None = None,
 ) -> DataFrame:
     """(doc_id, clean_text, n_masked): every document with all words
     covered by a cross-document repeated n-gram (document frequency >=
-    ``min_docs``) removed from its normalized token stream."""
+    ``min_docs``) removed from its normalized token stream.
+
+    ``broadcast_limit``: None (default) leaves the repeated-set join
+    strategy to AQE's runtime shuffle stats; an int pins it by hand
+    (count + broadcast/shuffle-hash hint) — same policy and rationale as
+    boilerplate.strip_common_lines."""
     # frequency over per-doc-DISTINCT grams (decontam's vectorized kernel)
     freq = (
         ngram_hashes(docs, id_col, text_col, n)
@@ -164,11 +153,15 @@ def scrub_repeated_spans(
         .agg(F.count(F.lit(1)).alias("_df"))
     )
     common = freq.filter(F.col("_df") >= min_docs).select("gram")
-    common = common.persist()
-    n_common = common.count()
-    join_side = (
-        F.broadcast(common) if n_common <= broadcast_limit else common
-    )
+    if broadcast_limit is None:
+        join_side = common
+    else:
+        n_common = common.count()
+        join_side = (
+            F.broadcast(common)
+            if n_common <= broadcast_limit
+            else common.hint("shuffle_hash")
+        )
 
     gram_pos = docs.select(id_col, text_col).mapInPandas(
         _gram_pos_fn(n, id_col, text_col), schema=_GRAM_POS_SCHEMA

@@ -13,11 +13,27 @@ the state store:
   first-arrival semantics — a stream cannot know a smaller key arrives
   later);
 - exactly-once without the file-sink's state: every batch writes to
-  deterministic, batch-id-addressed locations (`out/batch=<id>/`,
-  `registry/batch-<id>.parquet`) in overwrite mode, so a replayed batch
+  deterministic, slice-addressed locations (`out/batch=<sid>/`,
+  `registry/batch-<sid>.parquet`) in overwrite mode, so a replayed batch
   (foreachBatch's at-least-once) lands on the same paths with the same
   content — idempotent by construction, the same trick as the lineage
   commit protocol.
+
+Slice ids and checkpoint lineages: a slice id is ``run_base + batch_id``,
+where ``run_base`` is pinned in a sidecar inside the CHECKPOINT directory
+the first time the stream starts (fresh checkpoint over an existing
+registry -> run_base = max existing slice id + 1). This resolves the two
+failure modes that a bare batch_id cannot:
+
+- REPLAY (same checkpoint, crash between the writes and the checkpoint
+  commit): run_base is unchanged, so the replayed batch maps to the SAME
+  slice id; that slice — its own failed attempt — is excluded from the
+  anti-join read, and the replay reproduces the first attempt exactly
+  instead of anti-joining itself down to an empty overwrite.
+- NEW RUN over the same registry (fresh checkpoint, batch ids restart at
+  0): run_base jumps past every committed slice, so no old slice is ever
+  overwritten and ALL of them participate in the anti-join — the registry
+  never forgets across runs.
 
 Scale notes: the registry read is a parquet scan of norm_key only
 (column-pruned); the anti-join is a shuffle join on the 32-byte key —
@@ -28,6 +44,7 @@ executor memory is flat regardless of stream lifetime.
 
 from __future__ import annotations
 
+import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -38,9 +55,31 @@ from .filter_stream import _scored_stream
 _OUT_COLS = ["conv_id", "turn_idx", "ts", "lang", "ppl_bucket", "scrubbed_text"]
 
 
-def _commit_batch(out_dir: str, registry_dir: str):
+def _slice_id(path: Path) -> int:
+    return int(path.stem.split("-", 1)[1])
+
+
+def _pin_run_base(checkpoint_dir: str, registry_dir: str) -> int:
+    """The run's slice-id offset, pinned once per checkpoint lineage (see
+    module docstring). Atomic write-then-rename so a crash mid-start
+    cannot leave a torn sidecar."""
+    cp = Path(checkpoint_dir)
+    cp.mkdir(parents=True, exist_ok=True)
+    sidecar = cp / "registry-run-base.json"
+    if sidecar.exists():
+        return int(json.loads(sidecar.read_text())["run_base"])
+    existing = [_slice_id(p) for p in Path(registry_dir).glob("batch-*.parquet")]
+    base = max(existing) + 1 if existing else 0
+    tmp = cp / "registry-run-base.json.tmp"
+    tmp.write_text(json.dumps({"run_base": base}))
+    tmp.replace(sidecar)
+    return base
+
+
+def _commit_batch(out_dir: str, registry_dir: str, run_base: int):
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        sid = run_base + batch_id
         kept = batch_df.filter(F.col("reason0").isNull())
 
         # within-batch dedup: deterministic min-key winner
@@ -49,31 +88,27 @@ def _commit_batch(out_dir: str, registry_dir: str):
             F.col("_rn") == 1
         )
 
-        # cross-batch dedup: anti-join the committed registry. Only slices
-        # with batch id < the CURRENT id participate: on foreachBatch replay
-        # (crash between the writes and the checkpoint commit) this batch's
-        # own slice from the failed attempt is already on disk, and
-        # anti-joining against it would empty `kept` and overwrite both
-        # outputs with nothing — permanent loss. Earlier-only filtering
-        # makes the replay reproduce the first attempt exactly.
+        # cross-batch dedup: anti-join every committed slice EXCEPT this
+        # batch's own (a prior failed attempt of the same slice id —
+        # including it would empty the replay; see module docstring)
         reg_path = Path(registry_dir)
         reg_files = sorted(
             str(p)
             for p in reg_path.glob("batch-*.parquet")
-            if int(p.stem.split("-", 1)[1]) < batch_id
+            if _slice_id(p) != sid
         )
         if reg_files:
             registry = spark.read.parquet(*reg_files).select("norm_key")
             kept = kept.join(registry, "norm_key", "left_anti")
 
-        # deterministic batch-addressed writes -> replay-idempotent
+        # deterministic slice-addressed writes -> replay-idempotent
         kept = kept.persist()
         try:
             kept.select(*_OUT_COLS).write.mode("overwrite").parquet(
-                f"{out_dir}/batch={batch_id}"
+                f"{out_dir}/batch={sid}"
             )
             reg_path.mkdir(parents=True, exist_ok=True)
-            tmp = reg_path / f"_tmp-batch-{batch_id}"
+            tmp = reg_path / f"_tmp-batch-{sid}"
             # coalesce(1): the publish below takes exactly one part file, and
             # kept comes out of window/anti-join shuffles with potentially
             # many non-empty partitions — without this, extra parts would be
@@ -86,7 +121,7 @@ def _commit_batch(out_dir: str, registry_dir: str):
             import shutil
 
             part = next(Path(tmp).glob("part-*.parquet"), None)
-            final = reg_path / f"batch-{batch_id}.parquet"
+            final = reg_path / f"batch-{sid}.parquet"
             if part is not None:
                 part.replace(final)
             else:  # empty batch: publish an empty registry slice
@@ -111,11 +146,15 @@ def start_registry_filter_stream(
     available_now: bool = True,
 ):
     """Filter + scrub + registry dedup; kept turns land under
-    ``out_dir/batch=<id>/`` with the norm-key registry growing under
-    ``registry_dir`` — global dedup with no state-store eviction."""
+    ``out_dir/batch=<slice id>/`` with the norm-key registry growing under
+    ``registry_dir`` — global dedup with no state-store eviction, across
+    restarts AND across fresh-checkpoint re-runs over the same registry."""
+    run_base = _pin_run_base(checkpoint_dir, registry_dir)
     scored = _scored_stream(spark, src_dir)
     writer = (
-        scored.writeStream.foreachBatch(_commit_batch(out_dir, registry_dir))
+        scored.writeStream.foreachBatch(
+            _commit_batch(out_dir, registry_dir, run_base)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
     )

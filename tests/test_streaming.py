@@ -300,7 +300,7 @@ def test_registry_stream_replay_idempotent(spark):
         "reason0 string"
     )
     ts = dt.datetime(2025, 6, 1)
-    fn = _commit_batch(out, reg)
+    fn = _commit_batch(out, reg, 0)
 
     b0 = spark.createDataFrame(
         [
@@ -328,4 +328,67 @@ def test_registry_stream_replay_idempotent(spark):
     fn(b1, 1)
     second = spark.read.parquet(f"{out}/batch=1").toPandas()
     assert set(second.conv_id) == {"c5"}
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def test_registry_stream_new_run_keeps_old_registry(spark):
+    """A NEW run over the SAME registry (fresh checkpoint, batch ids
+    restarting at 0) must neither overwrite old slices nor re-emit their
+    keys: the run-base sidecar maps the new run's batches past every
+    committed slice, preserving the never-forgetting contract."""
+    import datetime as dt
+
+    from fineweb_legal_spark.streaming.registry_stream import (
+        _commit_batch,
+        _pin_run_base,
+    )
+
+    base = DATA_DIR / "tmp" / "stream_reg_rerun"
+    shutil.rmtree(base, ignore_errors=True)
+    out, reg = str(base / "out"), str(base / "reg")
+    cp1, cp2 = str(base / "cp1"), str(base / "cp2")
+    schema = (
+        "conv_id string, turn_idx int, ts timestamp, lang string, "
+        "ppl_bucket int, scrubbed_text string, norm_key string, "
+        "reason0 string"
+    )
+    ts = dt.datetime(2025, 6, 1)
+
+    # run 1 (fresh everything): base 0, commits slices 0 and 1
+    base1 = _pin_run_base(cp1, reg)
+    assert base1 == 0
+    fn1 = _commit_batch(out, reg, base1)
+    fn1(
+        spark.createDataFrame([("r1", 0, ts, "en", 3, "a", "k1", None)], schema),
+        0,
+    )
+    fn1(
+        spark.createDataFrame([("r2", 0, ts, "en", 3, "b", "k2", None)], schema),
+        1,
+    )
+
+    # run 2: fresh checkpoint, same registry -> base jumps past slice 1,
+    # and is STABLE on re-read (replay within run 2 reuses it)
+    base2 = _pin_run_base(cp2, reg)
+    assert base2 == 2
+    assert _pin_run_base(cp2, reg) == 2
+    fn2 = _commit_batch(out, reg, base2)
+    fn2(
+        spark.createDataFrame(
+            [
+                ("r3", 0, ts, "en", 3, "a", "k1", None),  # dup from run 1
+                ("r4", 0, ts, "en", 3, "c", "k3", None),
+            ],
+            schema,
+        ),
+        0,
+    )
+    # run 1's slice 0 output is untouched; run 2's batch 0 landed at
+    # slice 2 and dropped run 1's key
+    got0 = spark.read.parquet(f"{out}/batch=0").toPandas()
+    assert set(got0.conv_id) == {"r1"}
+    got2 = spark.read.parquet(f"{out}/batch=2").toPandas()
+    assert set(got2.conv_id) == {"r4"}
+    allout = spark.read.parquet(f"{out}/batch=*").toPandas()
+    assert set(allout.conv_id) == {"r1", "r2", "r4"}
     shutil.rmtree(base, ignore_errors=True)

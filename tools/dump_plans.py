@@ -86,8 +86,10 @@ PICKS = {
     "value_stats_events": (
         "Round-4 consolidation shape: moments + exact percentile + "
         "Greenwald-Khanna sketch + exact and HLL count-distinct in ONE "
-        "aggregation pass (partial_ aggregates visible below a single "
-        "exchange) where round 3 spent four separate scans."
+        "aggregation (one scan where round 3 spent four). Two exchanges "
+        "are expected: the exact countDistinct forces Spark's "
+        "Expand-based two-stage distinct aggregate — as good as a plan "
+        "with an exact distinct gets."
     ),
     "strip_boilerplate_t1": (
         "Line doc-frequency aggregate -> runtime broadcast-vs-shuffle "
