@@ -11,7 +11,7 @@ from fineweb_legal_spark.corpus import LANG_SENTENCES
 
 def test_build_is_deterministic():
     a, b = build_artifacts(), build_artifacts()
-    assert np.array_equal(a.langid_logprob_t, b.langid_logprob_t)
+    assert np.array_equal(a.langid_logprob, b.langid_logprob)
     assert np.array_equal(a.ppl_logprob, b.ppl_logprob)
 
 
@@ -65,7 +65,7 @@ def test_scoring_matches_independent_python_reimplementation():
         tri = _py_trigrams(s, spec.LANGID_PREFIX_CHARS)
         if tri:
             sums = [
-                sum(float(a.langid_logprob_t[h][i]) for h in tri)
+                sum(float(a.langid_logprob[i][h]) for h in tri)
                 for i in range(len(a.langs))
             ]
             expect_lang = a.langs[sums.index(max(sums))]
