@@ -45,3 +45,39 @@ def test_order_email_before_ssn_before_phone():
 def test_none_passthrough():
     assert scrub_text(None) is None
     assert scrub_text("") == ""
+
+
+def test_gated_scrub_equals_ungated_cascade():
+    # the necessary-condition gates (round 4) must never change output:
+    # property-check against the ungated five-pass cascade on adversarial
+    # text mixing PII shapes, gate-boundary fragments, and unicode
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fineweb_legal_spark import spec
+
+    def ungated(text):
+        t = spec.EMAIL_RE.sub(spec.EMAIL_TOKEN, text)
+        t = spec.SSN_RE.sub(spec.SSN_TOKEN, t)
+        t = spec.SSN9_RE.sub(spec.SSN_TOKEN, t)
+        t = spec.PHONE_RE.sub(spec.PHONE_TOKEN, t)
+        t = spec.PROFANITY_RE.sub(spec.PROFANITY_TOKEN, t)
+        return t
+
+    frag = st.sampled_from(
+        [
+            "a@b.co", "@", "x@y", "123-45-6789", "123456789", "12345678",
+            "415-555-0134", "(415) 555-0134", "+1 650 555 0101", "damn",
+            "DAMN", "shellfish", "Hell", "1.2.123-45-6789", "99", " ",
+            " ", "ü@ü.de", "123", "-", ".", "sucks9123456789",
+        ]
+    )
+    chunk = st.one_of(frag, st.text(max_size=8))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(chunk, max_size=12))
+    def check(parts):
+        s = "".join(parts)
+        assert scrub_text(s) == ungated(s)
+
+    check()
