@@ -174,3 +174,21 @@ def test_registry_fits_driver_budget_and_has_oracle_parity():
         f"queries/oracle key mismatch: only-queries={sorted(set(q) - set(o))} "
         f"only-oracle={sorted(set(o) - set(q))}"
     )
+
+
+def test_text_analysis_is_one_pass_no_join(spark, queries):
+    # round-4 consolidation contract: langid + native projections compose
+    # in ONE Arrow pass with the scalars passed through keep_cols — a
+    # regression to the join-back-on-doc_id shape would shuffle the corpus
+    plan = _plan(queries["text_analysis_docs"](spark, SF_DIR))
+    assert plan.count(") MapInPandas") == 1
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
+        assert node not in plan, node
+
+
+def test_neardup_pairs_has_no_cartesian_on_t1(spark, queries):
+    # the minhash/simhash members must stay banded equi-joins; only the
+    # documents-side exact-Jaccard baseline is allowed its documented
+    # O(n^2) join (a single cartesian over the small docs table)
+    plan = _plan(queries["neardup_pairs"](spark, SF_DIR))
+    assert plan.count(") CartesianProduct") <= 1
