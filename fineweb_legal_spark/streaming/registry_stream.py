@@ -59,21 +59,73 @@ def _slice_id(path: Path) -> int:
     return int(path.stem.split("-", 1)[1])
 
 
+def _registry_files(registry_dir: str | Path) -> list[Path]:
+    """Every committed registry file: compacted bases + per-batch slices."""
+    p = Path(registry_dir)
+    return sorted(p.glob("base-*.parquet")) + sorted(p.glob("batch-*.parquet"))
+
+
 def _pin_run_base(checkpoint_dir: str, registry_dir: str) -> int:
     """The run's slice-id offset, pinned once per checkpoint lineage (see
     module docstring). Atomic write-then-rename so a crash mid-start
-    cannot leave a torn sidecar."""
+    cannot leave a torn sidecar. Compacted base files count toward the
+    max (a fully-compacted registry must still push a new run past the
+    ids its base already covers)."""
     cp = Path(checkpoint_dir)
     cp.mkdir(parents=True, exist_ok=True)
     sidecar = cp / "registry-run-base.json"
     if sidecar.exists():
         return int(json.loads(sidecar.read_text())["run_base"])
-    existing = [_slice_id(p) for p in Path(registry_dir).glob("batch-*.parquet")]
+    existing = [_slice_id(p) for p in _registry_files(registry_dir)]
     base = max(existing) + 1 if existing else 0
     tmp = cp / "registry-run-base.json.tmp"
     tmp.write_text(json.dumps({"run_base": base}))
     tmp.replace(sidecar)
     return base
+
+
+def compact_registry(
+    spark: SparkSession, registry_dir: str, keep_last: int = 1
+) -> int:
+    """Merge committed per-batch slices into one ``base-<sid>.parquet``
+    (sid = highest id folded in) and delete the merged files. Returns the
+    number of files removed.
+
+    At 10^6 micro-batches the slice COUNT is itself the scale problem —
+    every anti-join read lists and opens a file per batch. Compaction is
+    an OFFLINE maintenance op (run it between streams or from a
+    maintenance job, not concurrently with an active writer, like any
+    parquet compaction).
+
+    Crash-safety is by idempotent semantics, the same trick as the commit
+    protocol: the base is published first (write tmp dir -> rename single
+    file), THEN the merged inputs are deleted. A crash in between leaves
+    keys duplicated across base + slices, which the dedup anti-join is
+    insensitive to, and re-running compaction converges. ``keep_last``
+    newest slices stay uncompacted so a crashed LAST batch can still
+    replay without finding its own keys inside the base (foreachBatch
+    replays only the newest uncommitted batch)."""
+    reg = Path(registry_dir)
+    bases = sorted(reg.glob("base-*.parquet"))
+    slices = sorted(reg.glob("batch-*.parquet"), key=_slice_id)
+    merge = bases + slices[: max(0, len(slices) - keep_last)]
+    if len(merge) <= 1:
+        return 0
+    upto = max(_slice_id(p) for p in merge)
+    df = spark.read.parquet(*[str(p) for p in merge]).select("norm_key")
+    tmp = reg / f"_tmp-base-{upto}"
+    df.distinct().coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    part = next(tmp.glob("part-*.parquet"))
+    part.replace(reg / f"base-{upto}.parquet")
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    removed = 0
+    for p in merge:
+        if p.name != f"base-{upto}.parquet":
+            p.unlink(missing_ok=True)
+            removed += 1
+    return removed
 
 
 def _commit_batch(out_dir: str, registry_dir: str, run_base: int):
@@ -88,14 +140,17 @@ def _commit_batch(out_dir: str, registry_dir: str, run_base: int):
             F.col("_rn") == 1
         )
 
-        # cross-batch dedup: anti-join every committed slice EXCEPT this
-        # batch's own (a prior failed attempt of the same slice id —
-        # including it would empty the replay; see module docstring)
+        # cross-batch dedup: anti-join every committed registry file
+        # (compacted bases + slices) EXCEPT this batch's own slice (a
+        # prior failed attempt of the same slice id — including it would
+        # empty the replay; see module docstring). Bases never contain
+        # the current batch: compaction is offline and keeps the newest
+        # slice out (compact_registry keep_last).
         reg_path = Path(registry_dir)
         reg_files = sorted(
             str(p)
-            for p in reg_path.glob("batch-*.parquet")
-            if _slice_id(p) != sid
+            for p in _registry_files(reg_path)
+            if not (p.name == f"batch-{sid}.parquet")
         )
         if reg_files:
             registry = spark.read.parquet(*reg_files).select("norm_key")

@@ -392,3 +392,72 @@ def test_registry_stream_new_run_keeps_old_registry(spark):
     allout = spark.read.parquet(f"{out}/batch=*").toPandas()
     assert set(allout.conv_id) == {"r1", "r2", "r4"}
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_registry_compaction_preserves_dedup(spark):
+    """compact_registry folds committed slices into one base file; dedup
+    semantics, replay safety (keep_last), and a later fresh-checkpoint
+    run's base pin must all survive the compaction."""
+    import datetime as dt
+
+    from fineweb_legal_spark.streaming.registry_stream import (
+        _commit_batch,
+        _pin_run_base,
+        compact_registry,
+    )
+
+    base = DATA_DIR / "tmp" / "stream_reg_compact"
+    shutil.rmtree(base, ignore_errors=True)
+    out, reg = str(base / "out"), str(base / "reg")
+    schema = (
+        "conv_id string, turn_idx int, ts timestamp, lang string, "
+        "ppl_bucket int, scrubbed_text string, norm_key string, "
+        "reason0 string"
+    )
+    ts = dt.datetime(2025, 6, 1)
+    fn = _commit_batch(out, reg, 0)
+    for i, key in enumerate(["k1", "k2", "k3", "k4"]):
+        fn(
+            spark.createDataFrame(
+                [(f"c{i}", 0, ts, "en", 3, f"t{i}", key, None)], schema
+            ),
+            i,
+        )
+    from pathlib import Path as P
+
+    assert len(list(P(reg).glob("batch-*.parquet"))) == 4
+    removed = compact_registry(spark, reg, keep_last=1)
+    assert removed == 3
+    assert [p.name for p in sorted(P(reg).glob("base-*.parquet"))] == [
+        "base-2.parquet"
+    ]
+    assert [p.name for p in sorted(P(reg).glob("batch-*.parquet"))] == [
+        "batch-3.parquet"
+    ]
+
+    # dedup against compacted keys still holds (k1 lives in the base now)
+    fn(
+        spark.createDataFrame(
+            [
+                ("c9", 0, ts, "en", 3, "dup", "k1", None),
+                ("c10", 0, ts, "en", 3, "new", "k5", None),
+            ],
+            schema,
+        ),
+        4,
+    )
+    got = spark.read.parquet(f"{out}/batch=4").toPandas()
+    assert set(got.conv_id) == {"c10"}
+
+    # re-running compaction converges (idempotent semantics)
+    compact_registry(spark, reg, keep_last=1)
+    allfiles = sorted(
+        p.name for p in list(P(reg).glob("ba*-*.parquet"))
+    )
+    assert allfiles == ["base-3.parquet", "batch-4.parquet"]
+
+    # a fresh-checkpoint run over the fully-compacted registry pins past
+    # every id the base covers
+    cp2 = str(base / "cp2")
+    assert _pin_run_base(cp2, reg) == 5
+    shutil.rmtree(base, ignore_errors=True)
