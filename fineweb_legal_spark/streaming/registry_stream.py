@@ -98,13 +98,15 @@ def compact_registry(
     parquet compaction).
 
     Crash-safety is by idempotent semantics, the same trick as the commit
-    protocol: the base is published first (write tmp dir -> rename single
-    file), THEN the merged inputs are deleted. A crash in between leaves
+    protocol: the base is published first (write tmp dir -> atomic
+    directory rename), THEN the merged inputs are deleted. A crash in between leaves
     keys duplicated across base + slices, which the dedup anti-join is
     insensitive to, and re-running compaction converges. ``keep_last``
     newest slices stay uncompacted so a crashed LAST batch can still
     replay without finding its own keys inside the base (foreachBatch
     replays only the newest uncommitted batch)."""
+    import shutil
+
     reg = Path(registry_dir)
     bases = sorted(reg.glob("base-*.parquet"))
     slices = sorted(reg.glob("batch-*.parquet"), key=_slice_id)
@@ -113,17 +115,24 @@ def compact_registry(
         return 0
     upto = max(_slice_id(p) for p in merge)
     df = spark.read.parquet(*[str(p) for p in merge]).select("norm_key")
+    # the base is a multi-part parquet DIRECTORY published by atomic
+    # directory rename — no coalesce(1): a single writer cannot hold at
+    # 10^12 keys, and spark reads the slice list transparently either way
+    # (at that scale, repartition by norm_key here to make later
+    # anti-joins storage-partitioned)
     tmp = reg / f"_tmp-base-{upto}"
-    df.distinct().coalesce(1).write.mode("overwrite").parquet(str(tmp))
-    part = next(tmp.glob("part-*.parquet"))
-    part.replace(reg / f"base-{upto}.parquet")
-    import shutil
-
     shutil.rmtree(tmp, ignore_errors=True)
+    df.distinct().write.mode("overwrite").parquet(str(tmp))
+    final = reg / f"base-{upto}.parquet"
+    shutil.rmtree(final, ignore_errors=True)
+    tmp.rename(final)
     removed = 0
     for p in merge:
-        if p.name != f"base-{upto}.parquet":
-            p.unlink(missing_ok=True)
+        if p.name != final.name:
+            if p.is_dir():
+                shutil.rmtree(p, ignore_errors=True)
+            else:
+                p.unlink(missing_ok=True)
             removed += 1
     return removed
 
