@@ -22,7 +22,10 @@ Caveats encoded here rather than left to the caller:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
 
 
 def write_bucketed(
@@ -49,3 +52,68 @@ def colocated_join(
     pre-sorted buckets also elide the per-task Sort.
     """
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+def write_scored_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str = "norm_key",
+    order: Sequence[str] = ("conv_id", "turn_idx"),
+    n_buckets: int = 32,
+) -> None:
+    """Stage a scored table for repeated zero-exchange dedup passes.
+
+    Null dedup keys (rejects never enter the registry) are coalesced to a
+    synthetic per-row singleton key — "\\x00" + the order coordinates, the
+    same trick `pipeline.py:396-399` uses in-flight — BEFORE bucketing, so
+    the stored bucket key is never null. That keeps every later window
+    over `key` a plain partitionBy(bucket column): no null-partition
+    skew, no expression over the bucket column that would force an
+    Exchange back in. Rejects are recognizable downstream by the "\\x00"
+    prefix.
+    """
+    filled = df.withColumn(
+        key,
+        F.coalesce(
+            F.col(key),
+            F.concat(
+                F.lit("\x00"),
+                *[F.col(c).cast("string") for c in order],
+            ),
+        ),
+    )
+    write_bucketed(filled, table, key, n_buckets)
+
+
+def bucketed_dedup(
+    spark: SparkSession,
+    table: str,
+    key: str = "norm_key",
+    order: Sequence[str] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Zero-exchange staged dedup over a table bucketed on the dedup key.
+
+    The in-pipeline dedup (`pipeline.py:run_pipeline`) pays one slim
+    exchange per run to cluster rows by `norm_key`. The staged layout
+    pays that shuffle ONCE: stage 1 writes the scored table with
+    `write_scored_bucketed`, and every later dedup / registry /
+    duplicate-audit pass over it plans with ZERO Exchange — the bucketed
+    scan already satisfies the window's hash distribution, so only a
+    per-bucket local Sort remains, and Spark's WindowGroupLimit pushdown
+    drops losers before the full window materializes (both asserted by
+    tests/test_bucketing.py). At 100 TB this is the layout for a
+    verdicts table that is re-deduped incrementally or audited
+    repeatedly: the shuffle is amortized, and a rerun costs one scan.
+
+    `order` breaks ties deterministically, matching the pipeline's
+    min-(conv_id, turn_idx) winner rule. Synthetic singleton keys from
+    `write_scored_bucketed` are unique per row, so rejects survive with
+    rn = 1 and no partition carries more than one of them.
+    """
+    t = spark.table(table)
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order])
+    return (
+        t.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -33,3 +33,63 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_docs")
         spark.sql("DROP TABLE IF EXISTS b_stats")
+
+
+def test_bucketed_dedup_zero_exchange_and_matches_classic(spark):
+    """Staged dedup: window over the norm_key-bucketed scored table must
+    plan with zero Exchange AND the WindowGroupLimit pushdown, and must
+    keep exactly the classic min-(conv_id, turn_idx) winners plus every
+    null-key reject."""
+    from fineweb_legal_spark.sources.bucketed import (
+        bucketed_dedup,
+        write_scored_bucketed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # Scored-shaped frame with forced duplicate keys (doc_id % 40 -> ~12
+    # rows per key) and null keys standing in for rejects.
+    scored = docs.select(
+        F.col("doc_id").alias("conv_id"),
+        (F.col("doc_id") % 3).alias("turn_idx"),
+        F.when(
+            F.col("doc_id") % 7 != 0, F.md5((F.col("doc_id") % 40).cast("string"))
+        ).alias("norm_key"),
+        "source",
+    )
+    write_scored_bucketed(scored, "b_scored", n_buckets=8)
+    try:
+        dd = bucketed_dedup(spark, "b_scored")
+        plan = _plan(dd)
+        assert ") Exchange" not in plan, plan
+        assert "WindowGroupLimit" in plan, plan
+
+        # Oracle: classic dedup on the unbucketed frame.
+        import pandas as pd
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("norm_key").orderBy("conv_id", "turn_idx")
+        winners = (
+            scored.filter(F.col("norm_key").isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("conv_id", "turn_idx")
+        )
+        rejects = scored.filter(F.col("norm_key").isNull()).select(
+            "conv_id", "turn_idx"
+        )
+        want = (
+            winners.unionByName(rejects)
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        got = (
+            dd.select("conv_id", "turn_idx")
+            .toPandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(want) < scored.count()  # dups actually removed
+        pd.testing.assert_frame_equal(got, want)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_scored")
