@@ -28,10 +28,33 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 
+def _clear_orphan_location(spark: SparkSession, table: str) -> None:
+    """Remove a table location left behind by a crashed writer.
+
+    `saveAsTable(mode="overwrite")` refuses to write when the managed
+    location exists WITHOUT a catalog entry (LOCATION_ALREADY_EXISTS) —
+    exactly the state a writer killed mid-write leaves behind, which
+    would otherwise block every rerun of a staged table until someone
+    hand-deletes the directory. Only the orphan case is cleaned: if the
+    catalog entry exists, overwrite semantics already apply. Uses the
+    Hadoop FileSystem API so the same code works on HDFS/S3 warehouses,
+    not just local disk.
+    """
+    if spark.catalog.tableExists(table):
+        return
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    jvm = spark._jvm  # Hadoop FS handle; same private-API caveat as session.explain_formatted
+    path = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(path):
+        fs.delete(path, True)
+
+
 def write_bucketed(
     df: DataFrame, table: str, key: str, n_buckets: int = 32
 ) -> None:
     """Persist df as a catalog table bucketed+sorted on `key`."""
+    _clear_orphan_location(df.sparkSession, table)
     (
         df.repartition(n_buckets, key)
         .write.mode("overwrite")

@@ -93,3 +93,25 @@ def test_bucketed_dedup_zero_exchange_and_matches_classic(spark):
         pd.testing.assert_frame_equal(got, want)
     finally:
         spark.sql("DROP TABLE IF EXISTS b_scored")
+
+
+def test_write_bucketed_recovers_from_orphan_location(spark):
+    """A writer killed mid-write leaves the managed location on disk with
+    no catalog entry; the next write must clean it up and succeed instead
+    of dying with LOCATION_ALREADY_EXISTS."""
+    import os
+
+    from fineweb_legal_spark.sources.bucketed import write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS b_orphan")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    orphan = os.path.join(warehouse, "b_orphan")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "part-stale.parquet"), "w") as f:
+        f.write("stale")
+    try:
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        write_bucketed(docs.select("doc_id", "source"), "b_orphan", "doc_id", 4)
+        assert spark.table("b_orphan").count() == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orphan")
