@@ -140,3 +140,34 @@ def bucketed_dedup(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def bucketed_incremental_dedup(
+    spark: SparkSession,
+    base_table: str,
+    slice_table: str,
+    key: str = "norm_key",
+    order: Sequence[str] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Dedup a newly arrived slice against a staged base, zero Exchange.
+
+    The incremental analog of `bucketed_dedup`: the base is the
+    already-committed staged table; the new slice is written with
+    `write_scored_bucketed` at the SAME bucket count (its one small
+    shuffle). The pass is then (a) intra-slice winners via the bucketed
+    window and (b) a left-anti sort-merge join against the base's keys —
+    both served by the bucket layout, so the plan has no Exchange and
+    the base is never re-shuffled no matter how large it has grown
+    (tests/test_bucketing.py asserts the plan). This is the lineage
+    registry contract (`lineage.py` anti-join) re-expressed over the
+    staged layout: per-increment cost is O(slice) + one scan of the
+    base's key column.
+
+    The base's synthetic singleton keys ("\\x00"-prefixed rejects from
+    `write_scored_bucketed`) embed their own order coordinates, so they
+    can never collide with a slice key — committed rejects don't block
+    future rows.
+    """
+    fresh = bucketed_dedup(spark, slice_table, key, order)
+    base_keys = spark.table(base_table).select(key)
+    return fresh.join(base_keys, key, "left_anti")

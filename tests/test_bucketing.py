@@ -115,3 +115,64 @@ def test_write_bucketed_recovers_from_orphan_location(spark):
         assert spark.table("b_orphan").count() == docs.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orphan")
+
+
+def test_bucketed_incremental_dedup_zero_exchange(spark):
+    """New-slice dedup against the staged base: zero Exchange anywhere in
+    the plan (the base is never re-shuffled), and the result is exactly
+    intra-slice winners whose key is absent from the base."""
+    from fineweb_legal_spark.sources.bucketed import (
+        bucketed_incremental_dedup,
+        write_scored_bucketed,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    key_of = F.md5((F.col("doc_id") % 60).cast("string"))
+    base = docs.filter(F.col("doc_id") < 300).select(
+        F.col("doc_id").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        key_of.alias("norm_key"),
+    )
+    # slice overlaps the base's key space (doc_id % 60) and carries its
+    # own internal dups plus null-key rejects
+    slc = docs.filter(F.col("doc_id") >= 250).select(
+        F.col("doc_id").alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.when(F.col("doc_id") % 5 != 0, key_of).alias("norm_key"),
+    )
+    write_scored_bucketed(base, "b_base", n_buckets=8)
+    write_scored_bucketed(slc, "b_slice", n_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        inc = bucketed_incremental_dedup(spark, "b_base", "b_slice")
+        plan = _plan(inc)
+        assert ") Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+
+        # oracle: slice winners (non-null keys only; nulls became unique
+        # synthetic keys at write) minus every base key
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("norm_key").orderBy("conv_id", "turn_idx")
+        slice_winners = (
+            slc.filter(F.col("norm_key").isNotNull())
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        survivors = slice_winners.join(
+            base.select("norm_key").distinct(), "norm_key", "left_anti"
+        )
+        rejects = slc.filter(F.col("norm_key").isNull())
+        want = sorted(
+            (r.conv_id, r.turn_idx)
+            for r in survivors.unionByName(rejects).collect()
+        )
+        got = sorted((r.conv_id, r.turn_idx) for r in inc.collect())
+        assert want == got
+        assert len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_base")
+        spark.sql("DROP TABLE IF EXISTS b_slice")
