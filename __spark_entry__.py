@@ -806,6 +806,16 @@ def q_tfidf_top_terms_docs(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
+def q_repetition_topgram_docs(spark, sf_dir):
+    # Gopher-style repetition quality signal: per doc and n in (2,3,4),
+    # the most frequent word n-gram and the fraction of the document's
+    # characters its occurrences cover (ties -> lexicographically
+    # greatest gram). Zero lambda HOFs, zero word-level shuffle.
+    from fineweb_legal_spark.operators.textql import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def q_validate_structure_t2(spark, sf_dir):
     # agent-transcript protocol sanity over (role, tool, turn_idx):
     # tool-turn/tool-name consistency, tool-after-assistant ordering,
@@ -1430,6 +1440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_t1": q_dedup_clusters_rollup_t1,
         "mixture_sample_docs": q_mixture_sample_docs,
         "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
+        "repetition_topgram_docs": q_repetition_topgram_docs,
         "decontaminate_docs": q_decontaminate_docs,
         "scrub_repeated_spans_docs": q_scrub_repeated_spans_docs,
         # embedding/ANN family (shared plane/centroid/codebook exports)
@@ -2112,6 +2123,51 @@ def _oracle_base() -> dict[str, str]:
               FROM cand
             ) WHERE rank <= 5
         """,
+        "repetition_topgram_docs": """
+            WITH base AS (
+              SELECT doc_id, length(text) AS chars,
+                     list_filter(
+                         regexp_split_to_array(lower(text),
+                             '[ \t\n\r\f\x0b]+'),
+                         x -> x <> '') AS w
+              FROM documents WHERE text IS NOT NULL
+            ),
+            pos AS (
+              SELECT doc_id, chars, w,
+                     unnest(generate_series(1, len(w))) AS i
+              FROM base
+            ),
+            g AS (
+              SELECT doc_id, chars, 2 AS n,
+                     w[i] || ' ' || w[i+1] AS gram
+              FROM pos WHERE i + 1 <= len(w)
+              UNION ALL
+              SELECT doc_id, chars, 3 AS n,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+              FROM pos WHERE i + 2 <= len(w)
+              UNION ALL
+              SELECT doc_id, chars, 4 AS n,
+                     w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                         || ' ' || w[i+3] AS gram
+              FROM pos WHERE i + 3 <= len(w)
+            ),
+            counts AS (
+              SELECT doc_id, chars, n, gram,
+                     CAST(count(*) AS BIGINT) AS cnt,
+                     CAST(count(*) * length(gram) AS BIGINT) AS covered
+              FROM g GROUP BY doc_id, chars, n, gram
+            ),
+            ranked AS (
+              SELECT doc_id, chars, n, gram, cnt, covered,
+                     row_number() OVER (PARTITION BY doc_id, n
+                         ORDER BY covered DESC, gram DESC) AS rn
+              FROM counts
+            )
+            SELECT doc_id, n, gram AS top_gram, cnt AS top_cnt,
+                   round(CAST(covered AS DOUBLE) / chars, 6)
+                       AS top_gram_char_frac
+            FROM ranked WHERE rn = 1
+        """,
         "tfidf_top_terms_docs": """
             WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),
             words AS (
@@ -2493,6 +2549,7 @@ def oracle_sql() -> dict[str, str]:
             "strip_boilerplate_t1",
             "mixture_sample_docs",
             "tfidf_top_terms_docs",
+            "repetition_topgram_docs",
             "decontaminate_docs",
             "pq_ann_topk",
             "embedding_topk_cosine",

@@ -105,6 +105,105 @@ def predict_language(
     )
 
 
+def repetition_signals(
+    df: DataFrame,
+    ns: tuple[int, ...] = (2, 3, 4),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals: for each document and each n in
+    ``ns``, the most frequent word n-gram and the fraction of the
+    document's characters its occurrences cover (Rae et al. 2021 §A1.1
+    "fraction of characters in the most common n-gram"; the reference's
+    heuristic family is the same quality-rule school — annotator.py's
+    duplicate-line fraction is the sibling signal, already native in
+    pipeline.py).
+
+    Output: (id, n, top_gram, top_cnt, top_gram_char_frac) — one row per
+    document per n, documents with fewer than n words omitted for that n.
+    Ties resolve deterministically to the lexicographically greatest gram
+    among those with the highest covered-character count.
+
+    Scale shape: NO word-level shuffle and no lambda higher-order
+    functions (CodegenFallback in this Spark). The n-gram stream is built
+    row-locally with arrays_zip over shifted copies of the word array
+    (shorter slices null-pad, and concat's null-propagation drops the
+    ragged tail), then two chained explodes. Both aggregations are
+    map-side combinable: the first exchange carries distinct
+    (doc, n, gram) triples — never text — and the second carries one row
+    per (doc, n). The top-1 is max(struct(covered, gram, cnt)), not a
+    window, so no extra sort.
+    """
+    max_n = max(ns)
+    w = F.array_remove(
+        F.split(F.lower(F.col(text_col)), "[ \t\n\r\f\x0b]+"), ""
+    )
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), F.length(F.col(text_col)).alias("_chars"), w.alias("_w1")
+    )
+    for i in range(2, max_n + 1):
+        base = base.withColumn(
+            f"_w{i}", F.slice(F.col("_w1"), i, F.size(F.col("_w1")))
+        )
+    z = base.select(
+        id_col,
+        "_chars",
+        F.explode(
+            F.arrays_zip(*[F.col(f"_w{i}") for i in range(1, max_n + 1)])
+        ).alias("_z"),
+    )
+
+    def gram(n: int):
+        parts: list = []
+        for i in range(1, n + 1):
+            if i > 1:
+                parts.append(F.lit(" "))
+            parts.append(F.col("_z").getField(f"_w{i}"))
+        return F.concat(*parts)  # null-propagating: ragged tail drops out
+
+    grams = z.select(
+        id_col,
+        "_chars",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("n"), gram(n).alias("gram")
+                    )
+                    for n in ns
+                ]
+            )
+        ).alias("_g"),
+    ).select(
+        id_col,
+        "_chars",
+        F.col("_g.n").alias("n"),
+        F.col("_g.gram").alias("gram"),
+    ).filter(F.col("gram").isNotNull())
+    counts = grams.groupBy(id_col, "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.first("_chars").alias("_chars")
+    )
+    top = counts.groupBy(id_col, "n").agg(
+        F.max(
+            F.struct(
+                (F.col("cnt") * F.length("gram")).alias("covered"),
+                F.col("gram"),
+                F.col("cnt"),
+            )
+        ).alias("_top"),
+        F.first("_chars").alias("_chars"),
+    )
+    return top.select(
+        id_col,
+        "n",
+        F.col("_top.gram").alias("top_gram"),
+        F.col("_top.cnt").alias("top_cnt"),
+        F.round(
+            F.col("_top.covered").cast("double") / F.col("_chars"), 6
+        ).alias("top_gram_char_frac"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 5,

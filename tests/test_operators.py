@@ -608,3 +608,47 @@ def test_scrub_repeated_spans_planted(spark):
     assert got[4] == ("", 11)
     assert got[5] == (None, 0)
     assert got[6] == ("short text", 0)
+
+
+def test_repetition_signals_exact_and_plan(spark):
+    from fineweb_legal_spark.operators.textql import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark is fast"),
+            (2, "a b a b a b"),   # tie at n=3 -> lexicographically greatest
+            (3, None),            # null text -> excluded
+            (4, "   "),           # whitespace-only -> no grams
+            (5, "one"),           # < 2 words -> excluded everywhere
+            (6, "x\ty  z\nx y z x y"),  # mixed whitespace tokenization
+        ],
+        ["doc_id", "text"],
+    )
+    out = repetition_signals(docs)
+    # plan BEFORE execution: post-collect explain shows the final AQE
+    # plan whose node format differs (isFinalPlan=true, query stages)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # scale contract: exactly two Exchanges (gram agg + per-doc top agg),
+    # no Python eval, no window sort, no lambda HOF nodes
+    assert plan.count(") Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan
+    assert ") Window" not in plan
+    got = {
+        (r["doc_id"], r["n"]): (r["top_gram"], r["top_cnt"], r["top_gram_char_frac"])
+        for r in out.collect()
+    }
+    assert got[(1, 2)] == ("spark spark", 2, 0.88)
+    assert got[(1, 3)] == ("spark spark spark", 1, 0.68)
+    assert got[(1, 4)] == ("spark spark spark is", 1, 0.8)
+    # "a b a" and "b a b" both occur twice (overlapping); covered ties at
+    # 10 chars -> deterministic tie-break to the greatest gram
+    assert got[(2, 3)] == ("b a b", 2, round(10 / 11, 6))
+    # overlapping occurrences can push the ratio above 1 on degenerate
+    # short docs -- documented property, not a bug
+    assert got[(2, 4)] == ("a b a b", 2, round(14 / 11, 6))
+    assert got[(6, 2)][0] == "x y"
+    assert {k[0] for k in got} == {1, 2, 6}
