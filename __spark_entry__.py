@@ -917,6 +917,16 @@ def q_embedding_neardup(spark, sf_dir):
     return embedding_neardup_pairs(emb, dim=64, threshold=0.4)
 
 
+def q_semantic_dedup_embs(spark, sf_dir):
+    # SemDeDup-style semantic dedup: LSH-bucketed cosine pair graph ->
+    # connected components -> one kept representative (min id) per
+    # semantic cluster; every vector labeled (singletons keep=true)
+    from fineweb_legal_spark.operators.cluster import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, dim=64, threshold=0.4)
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     from fineweb_legal_spark.operators.similarity import lsh_ann_topk
 
@@ -1441,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample_docs": q_mixture_sample_docs,
         "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
         "repetition_topgram_docs": q_repetition_topgram_docs,
+        "semantic_dedup_embs": q_semantic_dedup_embs,
         "decontaminate_docs": q_decontaminate_docs,
         "scrub_repeated_spans_docs": q_scrub_repeated_spans_docs,
         # embedding/ANN family (shared plane/centroid/codebook exports)
@@ -2123,6 +2134,42 @@ def _oracle_base() -> dict[str, str]:
               FROM cand
             ) WHERE rank <= 5
         """,
+        "semantic_dedup_embs": """
+            WITH RECURSIVE p AS (
+              SELECT plane_idx, weights
+              FROM read_parquet('/root/repo/data/golden/planes_dim64.parquet')
+            ),
+            b AS (
+              SELECT e.vec_id, any_value(e.embedding) AS embedding,
+                     CAST(sum(CASE WHEN list_dot_product(e.embedding, p.weights) > 0
+                          THEN CAST(power(2, p.plane_idx) AS BIGINT)
+                          ELSE 0 END) AS INTEGER) AS bucket
+              FROM embeddings e, p GROUP BY e.vec_id
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM (
+                SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+                       round(list_cosine_similarity(a.embedding, c.embedding), 4)
+                           AS cos_sim
+                FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+              ) WHERE cos_sim >= 0.4
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, lbl) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.id
+            ),
+            cc AS (SELECT id, MIN(lbl) AS cluster_id FROM reach GROUP BY id)
+            SELECT emb.vec_id,
+                   coalesce(cc.cluster_id, emb.vec_id) AS cluster_id,
+                   (emb.vec_id = coalesce(cc.cluster_id, emb.vec_id)) AS keep
+            FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id
+        """,
         "repetition_topgram_docs": """
             WITH base AS (
               SELECT doc_id, length(text) AS chars,
@@ -2550,6 +2597,7 @@ def oracle_sql() -> dict[str, str]:
             "mixture_sample_docs",
             "tfidf_top_terms_docs",
             "repetition_topgram_docs",
+            "semantic_dedup_embs",
             "decontaminate_docs",
             "pq_ann_topk",
             "embedding_topk_cosine",

@@ -251,3 +251,50 @@ def sessionize(
             "duration_s", F.col("session_end_s") - F.col("session_start_s")
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): label
+    every vector with its semantic-duplicate cluster and keep exactly one
+    representative per cluster.
+
+    Composition of the repo's scale primitives — no new physical
+    machinery: embedding_neardup_pairs (LSH-bucketed candidate equi-join
+    + exact cosine verify, never all-pairs) feeds connected_components
+    (min-reachable-id labels, deterministic), and every input vector is
+    labeled by a left join: cluster members get the component's minimum
+    id, singletons get themselves. ``keep`` is true iff the vector IS its
+    cluster's minimum id, so the kept set is stable across runs,
+    partitionings and retries.
+
+    Output: (vec_id, cluster_id, keep) — one row per input vector.
+
+    Scale shape: the pair graph is bucket-restricted (recall across LSH
+    bucket boundaries is part of the contract, as in the reference's
+    banded registry family); the final labeling join is a plain equi-join
+    on the id, broadcast-able whenever the pair graph is sparse (the
+    normal case: near-dup members are a small fraction of the corpus).
+    """
+    from .similarity import N_PLANES, embedding_neardup_pairs
+
+    planes = N_PLANES if n_planes is None else n_planes
+    pairs = embedding_neardup_pairs(df, dim, threshold, planes).select(
+        "id_a", "id_b"
+    )
+    cc = connected_components(pairs)
+    labeled = df.select(F.col(id_col)).join(
+        cc.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    return labeled.select(
+        F.col(id_col),
+        F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        (F.col(id_col) == F.coalesce("cluster_id", F.col(id_col))).alias(
+            "keep"
+        ),
+    )

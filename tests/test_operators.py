@@ -652,3 +652,33 @@ def test_repetition_signals_exact_and_plan(spark):
     assert got[(2, 4)] == ("a b a b", 2, round(14 / 11, 6))
     assert got[(6, 2)][0] == "x y"
     assert {k[0] for k in got} == {1, 2, 6}
+
+
+def test_semantic_dedup_clusters_and_singletons(spark):
+    from fineweb_legal_spark.operators.cluster import semantic_dedup
+
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    neg = [-1.0] + [0.0] * (dim - 1)
+    rows = [
+        (1, e1), (2, e1), (3, e1),   # identical -> one semantic cluster
+        (4, neg),                     # cos=-1 to e1 -> never a pair
+        (5, e2),                      # orthogonal -> never a pair
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(emb, dim=dim, threshold=0.9).collect()
+    }
+    # every input vector is labeled; the identical triple collapses to its
+    # minimum id; non-duplicates are their own singleton clusters
+    assert out == {
+        1: (1, True),
+        2: (1, False),
+        3: (1, False),
+        4: (4, True),
+        5: (5, True),
+    }
