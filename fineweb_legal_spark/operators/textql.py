@@ -133,6 +133,11 @@ def repetition_signals(
     (doc, n, gram) triples — never text — and the second carries one row
     per (doc, n). The top-1 is max(struct(covered, gram, cnt)), not a
     window, so no extra sort.
+
+    Per-row memory is O(max(ns) x words-in-doc) for the zipped shifted
+    arrays — bounded by document length, not partition or corpus size.
+    Pathological single documents (10^8+ words) should be span-pre-split
+    upstream, the same policy packing applies to giant conversations.
     """
     max_n = max(ns)
     w = F.array_remove(
