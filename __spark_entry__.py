@@ -1422,7 +1422,7 @@ def q_embedding_neardup_union(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry == the driver's sweep set (48 entries, within the 50-query
+    """Registry == the driver's sweep set (50 entries, exactly the 50-query
     sweep budget, so every entry earns a driver correctness row each
     round; a pytest pins len(queries()) <= 50). Order: (1) the flagship pipeline group — the expensive shared
     t2 verdict cache its siblings (incl. validate_t2) then reuse at ~1 s

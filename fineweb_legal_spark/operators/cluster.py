@@ -284,7 +284,10 @@ def semantic_dedup(
     from .similarity import N_PLANES, embedding_neardup_pairs
 
     planes = N_PLANES if n_planes is None else n_planes
-    pairs = embedding_neardup_pairs(df, dim, threshold, planes).select(
+    # embedding_neardup_pairs keys on "vec_id"; alias the caller's id so a
+    # non-default id_col labels with the RIGHT ids (not a stray vec_id col)
+    vecs = df.select(F.col(id_col).alias("vec_id"), F.col("embedding"))
+    pairs = embedding_neardup_pairs(vecs, dim, threshold, planes).select(
         "id_a", "id_b"
     )
     cc = connected_components(pairs)

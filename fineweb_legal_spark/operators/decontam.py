@@ -83,6 +83,8 @@ def rolling_gram_hash_stream(words: list[str], n: int) -> np.ndarray:
     O(words * n) string/md5 work per-gram. The single shared kernel for
     every gram-based operator (decontam frequency/matching, spandedup
     positions) — one definition, one hash identity."""
+    if len(words) < n:  # no grams; np.zeros(negative) would raise
+        return np.empty(0, dtype=np.uint64)
     wh = np.fromiter(
         (zlib.crc32(w.encode("utf-8")) for w in words),
         dtype=np.uint64,

@@ -40,11 +40,26 @@ def _clear_orphan_location(spark: SparkSession, table: str) -> None:
     Hadoop FileSystem API so the same code works on HDFS/S3 warehouses,
     not just local disk.
     """
+    if "." in table:
+        # qualified name: the managed location depends on that database's
+        # own location — don't guess a path to delete; the writer will
+        # surface LOCATION_ALREADY_EXISTS for a human to inspect
+        return
     if spark.catalog.tableExists(table):
         return
+    # resolve the location the way saveAsTable(unqualified) will: under
+    # the CURRENT database. Resolving against the warehouse root while
+    # tableExists checked the current database deleted a LIVE default-db
+    # table's data when the session sat in another database.
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    db = spark.catalog.currentDatabase()
     jvm = spark._jvm  # Hadoop FS handle; same private-API caveat as session.explain_formatted
-    path = jvm.org.apache.hadoop.fs.Path(warehouse, table.lower())
+    parent = (
+        jvm.org.apache.hadoop.fs.Path(warehouse)
+        if db == "default"
+        else jvm.org.apache.hadoop.fs.Path(warehouse, f"{db.lower()}.db")
+    )
+    path = jvm.org.apache.hadoop.fs.Path(parent, table.lower())
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(path):
         fs.delete(path, True)
@@ -95,16 +110,15 @@ def write_scored_bucketed(
     Exchange back in. Rejects are recognizable downstream by the "\\x00"
     prefix.
     """
-    filled = df.withColumn(
-        key,
-        F.coalesce(
-            F.col(key),
-            F.concat(
-                F.lit("\x00"),
-                *[F.col(c).cast("string") for c in order],
-            ),
-        ),
-    )
+    # "#"-separated like pipeline.py's in-flight key: concatenating bare
+    # coordinates would collide ("c1",23) with ("c12",3) and silently drop
+    # a reject row in the dedup window
+    parts: list = [F.lit("\x00")]
+    for i, c in enumerate(order):
+        if i:
+            parts.append(F.lit("#"))
+        parts.append(F.col(c).cast("string"))
+    filled = df.withColumn(key, F.coalesce(F.col(key), F.concat(*parts)))
     write_bucketed(filled, table, key, n_buckets)
 
 

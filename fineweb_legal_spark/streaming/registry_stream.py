@@ -45,6 +45,7 @@ executor memory is flat regardless of stream lifetime.
 from __future__ import annotations
 
 import json
+import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -56,7 +57,9 @@ _OUT_COLS = ["conv_id", "turn_idx", "ts", "lang", "ppl_bucket", "scrubbed_text"]
 
 
 def _slice_id(path: Path) -> int:
-    return int(path.stem.split("-", 1)[1])
+    # "batch-12" -> 12; "base-57" -> 57; "base-57.g2" (a re-compacted
+    # generation, see compact_registry) -> 57
+    return int(re.search(r"-(\d+)", path.stem).group(1))
 
 
 def _registry_files(registry_dir: str | Path) -> list[Path]:
@@ -123,8 +126,19 @@ def compact_registry(
     tmp = reg / f"_tmp-base-{upto}"
     shutil.rmtree(tmp, ignore_errors=True)
     df.distinct().write.mode("overwrite").parquet(str(tmp))
+    # publish under a name that does NOT yet exist (".g<gen>" when
+    # base-<upto> is already live — a crashed prior compaction, or an old
+    # straggler slice with sid < the base's). rmtree(final)-then-rename
+    # had a crash window where the only copy of the old base's keys was
+    # gone before the superset landed; a fresh-name rename is atomic and
+    # the old base stays readable until the post-publish deletion loop,
+    # whose crash leaves only harmless duplicates (anti-join-insensitive,
+    # re-compaction converges).
     final = reg / f"base-{upto}.parquet"
-    shutil.rmtree(final, ignore_errors=True)
+    gen = 1
+    while final.exists():
+        gen += 1
+        final = reg / f"base-{upto}.g{gen}.parquet"
     tmp.rename(final)
     removed = 0
     for p in merge:

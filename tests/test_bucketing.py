@@ -176,3 +176,56 @@ def test_bucketed_incremental_dedup_zero_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_base")
         spark.sql("DROP TABLE IF EXISTS b_slice")
+
+
+def test_scored_bucketed_reject_keys_do_not_collide(spark):
+    """Synthetic reject keys are '#'-separated: ("c1",23) and ("c12",3)
+    must stay distinct singleton keys (bare concatenation collided and
+    silently dropped one reject in the dedup window)."""
+    from fineweb_legal_spark.sources.bucketed import (
+        bucketed_dedup,
+        write_scored_bucketed,
+    )
+
+    rows = spark.createDataFrame(
+        [("c1", 23, None), ("c12", 3, None)],
+        "conv_id string, turn_idx int, norm_key string",
+    )
+    write_scored_bucketed(rows, "b_rejects", n_buckets=4)
+    try:
+        keys = [
+            r.norm_key for r in spark.table("b_rejects").collect()
+        ]
+        assert len(set(keys)) == 2, keys
+        assert bucketed_dedup(spark, "b_rejects").count() == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_rejects")
+
+
+def test_orphan_cleanup_is_database_scoped(spark):
+    """With the session in a non-default database, write_bucketed must
+    NOT delete the default database's live table data (the orphan check
+    consults the current database, so the path must too)."""
+    from fineweb_legal_spark.sources.bucketed import write_bucketed
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    spark.sql("DROP TABLE IF EXISTS b_scoped")
+    spark.sql("CREATE DATABASE IF NOT EXISTS b_scratch")
+    try:
+        write_bucketed(docs, "b_scoped", key="doc_id", n_buckets=4)
+        n = spark.table("b_scoped").count()
+        spark.catalog.setCurrentDatabase("b_scratch")
+        write_bucketed(docs, "b_scoped", key="doc_id", n_buckets=4)
+        spark.catalog.setCurrentDatabase("default")
+        # the default-db table's data survived the scratch-db write
+        assert spark.table("b_scoped").count() == n
+        assert (
+            spark.table("b_scratch.b_scoped").count() == docs.count()
+        )
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP TABLE IF EXISTS b_scoped")
+        spark.sql("DROP TABLE IF EXISTS b_scratch.b_scoped")
+        spark.sql("DROP DATABASE IF EXISTS b_scratch")

@@ -682,3 +682,28 @@ def test_semantic_dedup_clusters_and_singletons(spark):
         4: (4, True),
         5: (5, True),
     }
+
+
+def test_rolling_gram_hash_stream_short_input():
+    import numpy as np
+
+    from fineweb_legal_spark.operators.decontam import rolling_gram_hash_stream
+
+    out = rolling_gram_hash_stream(["only", "three", "words"], 8)
+    assert out.dtype == np.uint64 and len(out) == 0
+
+
+def test_semantic_dedup_honors_id_col(spark):
+    from fineweb_legal_spark.operators.cluster import semantic_dedup
+
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    rows = [(10, e1), (11, e1), (12, [0.0, 1.0] + [0.0] * (dim - 2))]
+    emb = spark.createDataFrame(rows, "doc_id long, embedding array<float>")
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["keep"])
+        for r in semantic_dedup(
+            emb, dim=dim, threshold=0.9, id_col="doc_id"
+        ).collect()
+    }
+    assert out == {10: (10, True), 11: (10, False), 12: (12, True)}

@@ -461,3 +461,60 @@ def test_registry_compaction_preserves_dedup(spark):
     cp2 = str(base / "cp2")
     assert _pin_run_base(cp2, reg) == 5
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_registry_compaction_never_unpublishes_live_base(spark):
+    """Re-compacting when base-<upto> already exists (crashed prior
+    compaction, or a straggler slice with sid < the base's) publishes a
+    NEW generation name instead of rmtree-ing the only live copy of the
+    base's keys, and preserves the key union."""
+    import datetime as dt
+
+    from fineweb_legal_spark.streaming.registry_stream import (
+        _commit_batch,
+        _registry_files,
+        compact_registry,
+    )
+
+    base = DATA_DIR / "tmp" / "stream_reg_compact_gen"
+    shutil.rmtree(base, ignore_errors=True)
+    out, reg = str(base / "out"), str(base / "reg")
+    schema = (
+        "conv_id string, turn_idx int, ts timestamp, lang string, "
+        "ppl_bucket int, scrubbed_text string, norm_key string, "
+        "reason0 string"
+    )
+    ts = dt.datetime(2025, 6, 1)
+    fn = _commit_batch(out, reg, 0)
+    for i, key in enumerate(["k1", "k2", "k3"]):
+        fn(
+            spark.createDataFrame(
+                [(f"c{i}", 0, ts, "en", 3, f"t{i}", key, None)], schema
+            ),
+            i,
+        )
+    from pathlib import Path as P
+
+    # first compaction: base-2 holds k1..k3 (all three slices folded)
+    assert compact_registry(spark, reg, keep_last=0) == 3
+    assert [p.name for p in sorted(P(reg).glob("base-*.parquet"))] == [
+        "base-2.parquet"
+    ]
+    # straggler slice with sid < the live base's id -> upto collides
+    fn2 = _commit_batch(out, reg, 0)  # run_base 0 -> slice id 1
+    fn2(
+        spark.createDataFrame(
+            [("cx", 0, ts, "en", 3, "tx", "k9", None)], schema
+        ),
+        1,
+    )
+    assert compact_registry(spark, reg, keep_last=0) == 2
+    names = [p.name for p in _registry_files(reg)]
+    assert names == ["base-2.g2.parquet"], names
+    keys = {
+        r.norm_key
+        for r in spark.read.parquet(
+            *[str(p) for p in _registry_files(reg)]
+        ).collect()
+    }
+    assert keys == {"k1", "k2", "k3", "k9"}
