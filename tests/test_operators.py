@@ -707,3 +707,63 @@ def test_semantic_dedup_honors_id_col(spark):
         ).collect()
     }
     assert out == {10: (10, True), 11: (10, False), 12: (12, True)}
+
+
+def test_repetition_signals_randomized_python_parity(spark):
+    """200 seeded random docs (tiny vocab forces heavy gram collisions,
+    mixed whitespace separators, empties/nulls): Spark == a pure-Python
+    Counter twin on (top_gram, top_cnt) exactly and frac to 1e-6."""
+    import random
+    import re as _re
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "ab", "the", "xx", "spark", "q", "zz"]
+    seps = [" ", " ", " ", "\t", "\n", "  "]
+    docs = []
+    for i in range(200):
+        k = rng.randint(0, 30)
+        if k == 0:
+            docs.append((i, rng.choice([None, "", "   "])))
+            continue
+        words = [rng.choice(vocab) for _ in range(k)]
+        text = words[0] + "".join(
+            rng.choice(seps) + w for w in words[1:]
+        )
+        docs.append((i, text))
+
+    from fineweb_legal_spark.operators.textql import repetition_signals
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["n"]): (r["top_gram"], r["top_cnt"], r["top_gram_char_frac"])
+        for r in repetition_signals(df).collect()
+    }
+
+    want = {}
+    for i, text in docs:
+        if text is None:
+            continue
+        words = [
+            w
+            for w in _re.split(r"[ \t\n\r\f\x0b]+", text.lower())
+            if w
+        ]
+        for n in (2, 3, 4):
+            grams = [
+                " ".join(words[j : j + n])
+                for j in range(len(words) - n + 1)
+            ]
+            if not grams:
+                continue
+            cnt = Counter(grams)
+            gram, c = max(
+                cnt.items(), key=lambda kv: (kv[1] * len(kv[0]), kv[0])
+            )
+            want[(i, n)] = (gram, c, c * len(gram) / len(text))
+
+    assert set(got) == set(want)
+    for key, (gram, c, frac) in want.items():
+        g_gram, g_cnt, g_frac = got[key]
+        assert (g_gram, g_cnt) == (gram, c), (key, got[key], want[key])
+        assert abs(g_frac - frac) < 1e-6, (key, g_frac, frac)
