@@ -831,23 +831,32 @@ _MIXTURE_DEFAULT = 0.05
 
 
 def q_mixture_sample_docs(spark, sf_dir):
-    # dataset-mixture construction: per-source deterministic sampling
-    # rates (operators/mixture.py). Output = per-source kept counts plus a
-    # doc_id checksum so the oracle compares the exact kept row set.
-    from fineweb_legal_spark.operators.mixture import mixture_sample
+    # dataset-mixture construction, config-tagged union of both samplers:
+    # "fixed" = explicit per-source rates (operators/mixture.py
+    # mixture_sample); "alpha05" = temperature-derived rates
+    # rate_s = (c_min/c_s)^(1-alpha) (temperature_mixture — the
+    # multinomial-temperature practice). Output = per-source kept counts
+    # plus a doc_id checksum so the oracle compares the exact kept set.
+    from fineweb_legal_spark.operators.mixture import (
+        mixture_sample,
+        temperature_mixture,
+    )
 
     d = _t(spark, sf_dir, "documents")
-    kept = mixture_sample(
-        d, _MIXTURE_RATES, default_rate=_MIXTURE_DEFAULT
-    )
-    return (
-        kept.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("kept"),
-            F.sum("doc_id").alias("doc_id_sum"),
+
+    def report(kept, tag):
+        return (
+            kept.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("kept"),
+                F.sum("doc_id").alias("doc_id_sum"),
+            )
+            .select(F.lit(tag).alias("config"), "source", "kept", "doc_id_sum")
         )
-        .orderBy("source")
-    )
+
+    fixed = mixture_sample(d, _MIXTURE_RATES, default_rate=_MIXTURE_DEFAULT)
+    alpha = temperature_mixture(d, alpha=0.5)
+    return report(fixed, "fixed").unionByName(report(alpha, "alpha05"))
 
 
 def q_decontaminate_docs(spark, sf_dir):
@@ -1508,10 +1517,37 @@ def _mixture_oracle_sql() -> str:
           FROM documents d LEFT JOIN thr ON thr.source = d.source
           WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
                 < coalesce(thr.t, '{dflt}')
+        ),
+        c AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY source
+        ),
+        r AS (
+          SELECT source,
+                 round(power(CAST((SELECT min(c) FROM c) AS DOUBLE) / c,
+                             0.5), 4) AS rate
+          FROM c
+        ),
+        athr AS (
+          SELECT source,
+                 CASE WHEN rate >= 1 THEN 'g'
+                      ELSE printf('%08x',
+                           CAST(floor(rate * 4294967296) AS BIGINT))
+                 END AS t
+          FROM r
+        ),
+        akept AS (
+          SELECT d.source, d.doc_id
+          FROM documents d JOIN athr USING (source)
+          WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < athr.t
         )
-        SELECT source, count(*) AS kept,
+        SELECT 'fixed' AS config, source, count(*) AS kept,
                CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
-        FROM kept GROUP BY source ORDER BY source
+        FROM kept GROUP BY source
+        UNION ALL
+        SELECT 'alpha05' AS config, source, count(*) AS kept,
+               CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+        FROM akept GROUP BY source
     """
 
 

@@ -62,3 +62,63 @@ def mixture_sample(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) < F.col("_thr")
     )
     return keyed.filter(keep).drop("_thr")
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture sampling: downsample each source so the
+    kept mix follows p_s^alpha renormalized (the multinomial-temperature
+    practice of multilingual/multi-source LLM corpora — alpha < 1 lifts
+    rare sources relative to dominant ones). Rates are DERIVED FROM THE
+    DATA, not supplied: rate_s = (c_min / c_s)^(1 - alpha), so the
+    rarest source keeps everything (rate exactly 1.0 -> the "g"
+    sentinel) and larger sources shrink toward the tempered share.
+
+    Same determinism contract as mixture_sample: the rate becomes an
+    8-hex threshold and rows are kept by md5-prefix compare — identical
+    row sets on any engine, partitioning, or retry. Rates are rounded to
+    4 decimals BEFORE thresholding so a 1-ulp pow() divergence between
+    engines cannot flip a threshold digit.
+
+    Scale shape: one map-side-combinable count per source, an
+    unpartitioned window over the tiny per-source frame (the
+    class_weights pattern — lazy, no eager action at plan build), and a
+    broadcast join back; the keep filter runs at the scan.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy()
+    rates = counts.withColumn("_cmin", F.min("_c").over(w)).select(
+        source_col,
+        F.round(
+            F.pow(F.col("_cmin") / F.col("_c"), F.lit(1.0 - alpha)), 4
+        ).alias("_rate"),
+    )
+    thr = rates.select(
+        source_col,
+        F.when(F.col("_rate") >= 1.0, F.lit("g"))
+        .otherwise(
+            F.lpad(
+                F.lower(
+                    F.hex(
+                        F.floor(F.col("_rate") * F.lit(float(HEX_SPACE))).cast(
+                            "long"
+                        )
+                    )
+                ),
+                8,
+                "0",
+            )
+        )
+        .alias("_thr"),
+    )
+    keyed = df.join(F.broadcast(thr), source_col)
+    keep = (
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) < F.col("_thr")
+    )
+    return keyed.filter(keep).drop("_thr")

@@ -767,3 +767,24 @@ def test_repetition_signals_randomized_python_parity(spark):
         g_gram, g_cnt, g_frac = got[key]
         assert (g_gram, g_cnt) == (gram, c), (key, got[key], want[key])
         assert abs(g_frac - frac) < 1e-6, (key, g_frac, frac)
+
+
+def test_temperature_mixture_lifts_rare_sources(spark):
+    """alpha=0.5 on a 16:1 two-source corpus: the rare source keeps
+    everything (rate 1.0 sentinel), the dominant one samples at
+    (c_min/c)^0.5 = 0.25 +- hash noise; deterministic across reruns."""
+    from fineweb_legal_spark.operators.mixture import temperature_mixture
+
+    df = spark.range(2125).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2000, "big").otherwise("small").alias("source"),
+    )
+    kept = temperature_mixture(df, alpha=0.5)
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["small"] == 125
+    assert 400 <= counts["big"] <= 600  # 0.25 rate +- hash noise
+    again = {r["source"]: r["n"] for r in
+             temperature_mixture(df, alpha=0.5).groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == counts
