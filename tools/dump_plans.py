@@ -77,7 +77,15 @@ PICKS = {
     "mixture_sample_docs": (
         "Per-source rate thresholds broadcast; the md5-prefix filter runs "
         "at the scan - the sampler itself adds zero exchanges (the only "
-        "shuffle is the report's per-source count)."
+        "shuffle is the report's per-source count). The alpha05 branch "
+        "derives rates from a map-side-combinable per-source count + "
+        "unpartitioned window over that tiny frame, then broadcasts back."
+    ),
+    "semantic_dedup_embs": (
+        "SemDeDup compose: LSH-bucketed cosine pair equi-join (never "
+        "all-pairs) -> iterative hash-min components (localCheckpoint "
+        "truncates lineage) -> one labeling left join, broadcast-able "
+        "when the pair graph is sparse."
     ),
     "length_filter_docs": (
         "Filter + 1-column projection: must show PushedFilters and a pruned "
