@@ -69,6 +69,7 @@ def temperature_mixture(
     alpha: float = 0.5,
     source_col: str = "source",
     key_col: str = "doc_id",
+    broadcast_rates: bool = True,
 ) -> DataFrame:
     """Temperature-based mixture sampling: downsample each source so the
     kept mix follows p_s^alpha renormalized (the multinomial-temperature
@@ -87,7 +88,12 @@ def temperature_mixture(
     Scale shape: one map-side-combinable count per source, an
     unpartitioned window over the tiny per-source frame (the
     class_weights pattern — lazy, no eager action at plan build), and a
-    broadcast join back; the keep filter runs at the scan.
+    broadcast join back; the keep filter runs at the scan. The broadcast
+    is bounded by DISTINCT-SOURCE cardinality — unlike mixture_sample's
+    caller-supplied dict, that is data-derived, so for extreme-cardinality
+    source columns (per-domain mixtures over 10^7+ hosts) pass
+    ``broadcast_rates=False`` to let AQE pick the join strategy from the
+    rate frame's runtime size instead of forcing the broadcast.
     """
     from pyspark.sql import Window
 
@@ -117,7 +123,7 @@ def temperature_mixture(
         )
         .alias("_thr"),
     )
-    keyed = df.join(F.broadcast(thr), source_col)
+    keyed = df.join(F.broadcast(thr) if broadcast_rates else thr, source_col)
     keep = (
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) < F.col("_thr")
     )
