@@ -1519,8 +1519,10 @@ def _mixture_oracle_sql() -> str:
                 < coalesce(thr.t, '{dflt}')
         ),
         c AS (
+          -- NULL sources carry no mixture membership (excluded from the
+          -- rate derivation; the inner join below drops their rows)
           SELECT source, CAST(count(*) AS BIGINT) AS c
-          FROM documents GROUP BY source
+          FROM documents WHERE source IS NOT NULL GROUP BY source
         ),
         r AS (
           SELECT source,

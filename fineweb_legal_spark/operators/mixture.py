@@ -40,6 +40,27 @@ def rate_threshold_hex(rate: float) -> str:
     return format(min(int(rate * HEX_SPACE), HEX_SPACE - 1), "08x")
 
 
+def threshold_hex_col(rate):
+    """Column-side twin of rate_threshold_hex (takes a rate Column):
+    rate >= 1 -> the "g" sentinel, else lowercase zero-padded
+    floor(rate * 16^8). ONE definition of the determinism-critical
+    mapping, shared by every data-derived sampler."""
+    return F.when(rate >= 1.0, F.lit("g")).otherwise(
+        F.lpad(
+            F.lower(F.hex(F.floor(rate * F.lit(float(HEX_SPACE))).cast("long"))),
+            8,
+            "0",
+        )
+    )
+
+
+def _keep_predicate(key_col: str):
+    """The shared keep filter: md5(key) 8-hex prefix below `_thr`."""
+    return (
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) < F.col("_thr")
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     rates: dict[str, float],
@@ -58,10 +79,7 @@ def mixture_sample(
     keyed = df.join(F.broadcast(thr), source_col, "left").withColumn(
         "_thr", F.coalesce("_thr", F.lit(rate_threshold_hex(default_rate)))
     )
-    keep = (
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) < F.col("_thr")
-    )
-    return keyed.filter(keep).drop("_thr")
+    return keyed.filter(_keep_predicate(key_col)).drop("_thr")
 
 
 def temperature_mixture(
@@ -97,7 +115,15 @@ def temperature_mixture(
     """
     from pyspark.sql import Window
 
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("_c"))
+    # NULL sources carry no mixture membership: they are excluded from the
+    # rate derivation (a tiny NULL group must not become c_min and crush
+    # every real source's rate) and dropped by the inner join below —
+    # stated behavior, mirrored in the driver oracle.
+    counts = (
+        df.filter(F.col(source_col).isNotNull())
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
     w = Window.partitionBy()
     rates = counts.withColumn("_cmin", F.min("_c").over(w)).select(
         source_col,
@@ -105,26 +131,6 @@ def temperature_mixture(
             F.pow(F.col("_cmin") / F.col("_c"), F.lit(1.0 - alpha)), 4
         ).alias("_rate"),
     )
-    thr = rates.select(
-        source_col,
-        F.when(F.col("_rate") >= 1.0, F.lit("g"))
-        .otherwise(
-            F.lpad(
-                F.lower(
-                    F.hex(
-                        F.floor(F.col("_rate") * F.lit(float(HEX_SPACE))).cast(
-                            "long"
-                        )
-                    )
-                ),
-                8,
-                "0",
-            )
-        )
-        .alias("_thr"),
-    )
+    thr = rates.select(source_col, threshold_hex_col(F.col("_rate")).alias("_thr"))
     keyed = df.join(F.broadcast(thr) if broadcast_rates else thr, source_col)
-    keep = (
-        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8) < F.col("_thr")
-    )
-    return keyed.filter(keep).drop("_thr")
+    return keyed.filter(_keep_predicate(key_col)).drop("_thr")

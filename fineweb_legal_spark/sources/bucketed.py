@@ -47,18 +47,16 @@ def _clear_orphan_location(spark: SparkSession, table: str) -> None:
         return
     if spark.catalog.tableExists(table):
         return
-    # resolve the location the way saveAsTable(unqualified) will: under
-    # the CURRENT database. Resolving against the warehouse root while
-    # tableExists checked the current database deleted a LIVE default-db
-    # table's data when the session sat in another database.
-    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    # resolve the location the way saveAsTable(unqualified) will: inside
+    # the CURRENT database's own location (asked of the catalog — covers
+    # CREATE DATABASE ... LOCATION and spares a hand-rolled ".db" suffix
+    # guess). Resolving against the warehouse root while tableExists
+    # checked the current database deleted a LIVE default-db table's
+    # data when the session sat in another database.
     db = spark.catalog.currentDatabase()
+    db_location = spark.catalog.getDatabase(db).locationUri
     jvm = spark._jvm  # Hadoop FS handle; same private-API caveat as session.explain_formatted
-    parent = (
-        jvm.org.apache.hadoop.fs.Path(warehouse)
-        if db == "default"
-        else jvm.org.apache.hadoop.fs.Path(warehouse, f"{db.lower()}.db")
-    )
+    parent = jvm.org.apache.hadoop.fs.Path(db_location)
     path = jvm.org.apache.hadoop.fs.Path(parent, table.lower())
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(path):
@@ -113,11 +111,14 @@ def write_scored_bucketed(
     # "#"-separated like pipeline.py's in-flight key: concatenating bare
     # coordinates would collide ("c1",23) with ("c12",3) and silently drop
     # a reject row in the dedup window
+    # "\x01" stands in for NULL coordinates: concat null-propagates, and a
+    # NULL synthetic key would funnel every such reject into one window
+    # partition and silently drop all but one
     parts: list = [F.lit("\x00")]
     for i, c in enumerate(order):
         if i:
             parts.append(F.lit("#"))
-        parts.append(F.col(c).cast("string"))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x01")))
     filled = df.withColumn(key, F.coalesce(F.col(key), F.concat(*parts)))
     write_bucketed(filled, table, key, n_buckets)
 

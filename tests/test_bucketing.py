@@ -229,3 +229,55 @@ def test_orphan_cleanup_is_database_scoped(spark):
         spark.sql("DROP TABLE IF EXISTS b_scoped")
         spark.sql("DROP TABLE IF EXISTS b_scratch.b_scoped")
         spark.sql("DROP DATABASE IF EXISTS b_scratch")
+
+
+def test_scored_bucketed_null_coordinates_stay_distinct(spark):
+    """Rejects with NULL order coordinates still get non-null, distinct
+    synthetic keys (concat null-propagation would have merged them into
+    one NULL window partition and dropped all but one)."""
+    from fineweb_legal_spark.sources.bucketed import (
+        bucketed_dedup,
+        write_scored_bucketed,
+    )
+
+    rows = spark.createDataFrame(
+        [(None, 1, None), (None, 2, None), ("c", None, None)],
+        "conv_id string, turn_idx int, norm_key string",
+    )
+    write_scored_bucketed(rows, "b_nullcoord", n_buckets=4)
+    try:
+        keys = [r.norm_key for r in spark.table("b_nullcoord").collect()]
+        assert all(k is not None for k in keys)
+        assert len(set(keys)) == 3, keys
+        assert bucketed_dedup(spark, "b_nullcoord").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_nullcoord")
+
+
+def test_orphan_cleanup_custom_location_database(spark):
+    """Orphan recovery asks the catalog for the database location, so a
+    CREATE DATABASE ... LOCATION db also unblocks after a crashed write."""
+    import shutil
+    from pathlib import Path
+
+    from fineweb_legal_spark.datasets import DATA_DIR
+    from fineweb_legal_spark.sources.bucketed import write_bucketed
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "source")
+    loc = DATA_DIR / "tmp" / "customdb"
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS b_custom LOCATION '{loc}'")
+    try:
+        spark.catalog.setCurrentDatabase("b_custom")
+        # orphan: location exists, no catalog entry (crashed writer)
+        (loc / "b_orphloc").mkdir(parents=True, exist_ok=True)
+        (loc / "b_orphloc" / "junk").write_text("x")
+        write_bucketed(docs, "b_orphloc", key="doc_id", n_buckets=4)
+        assert spark.table("b_orphloc").count() == docs.count()
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP TABLE IF EXISTS b_custom.b_orphloc")
+        spark.sql("DROP DATABASE IF EXISTS b_custom")
+        shutil.rmtree(loc, ignore_errors=True)

@@ -788,3 +788,23 @@ def test_temperature_mixture_lifts_rare_sources(spark):
              temperature_mixture(df, alpha=0.5).groupBy("source")
              .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert again == counts
+
+
+def test_temperature_mixture_null_sources_excluded(spark):
+    """A tiny NULL-source group must neither become c_min (crushing real
+    sources' rates) nor survive the sampler."""
+    from fineweb_legal_spark.operators.mixture import temperature_mixture
+
+    df = spark.range(2128).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 2000, "big")
+        .when(F.col("id") < 2125, "small")
+        .otherwise(None)
+        .alias("source"),
+    )
+    counts = {r["source"]: r["n"] for r in
+              temperature_mixture(df, alpha=0.5).groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert None not in counts
+    assert counts["small"] == 125          # c_min is small's 125, not NULL's 3
+    assert 400 <= counts["big"] <= 600     # rate (125/2000)^0.5 = 0.25
