@@ -45,3 +45,37 @@ def tier_filter(df: DataFrame, score_col: str, tier: str) -> DataFrame:
     from .. import spec
 
     return df.filter(F.col(score_col) >= spec.SCORE_TIERS[tier])
+
+
+def leakage_safe_splits(
+    df: DataFrame,
+    pairs: DataFrame,
+    key_col: str = "doc_id",
+    splits=SPLITS,
+) -> DataFrame:
+    """Split assignment that cannot leak near-duplicates across splits:
+    every document is assigned by its duplicate-CLUSTER representative's
+    hash, not its own, so all members of a near-dup cluster land in the
+    same split (train/test contamination via paraphrase-level duplicates
+    is the classic eval-inflation failure; per-doc hash splits redistribute
+    cluster members independently).
+
+    ``pairs`` is any (id_a, id_b) near-dup pair frame (MinHash/SimHash/
+    embedding-cosine); cluster labels come from connected_components
+    (min reachable id, deterministic), singletons represent themselves.
+    The split itself is the engine's standard deterministic hash split
+    (split_col) applied to the representative — stable under any
+    partitioning, retry, or engine.
+
+    Scale shape: the component resolution is the dedup-graph CC already
+    sized for 100 TB (hash-min + star fallback); the label join is one
+    equi-join on the id, broadcast-able when the pair graph is sparse.
+    Output: df + (cluster_id, split).
+    """
+    from .cluster import connected_components
+
+    cc = connected_components(pairs.select("id_a", "id_b"))
+    labeled = df.join(
+        cc.withColumnRenamed("id", key_col), key_col, "left"
+    ).withColumn("cluster_id", F.coalesce("cluster_id", F.col(key_col)))
+    return labeled.withColumn("split", split_col(F.col("cluster_id"), splits))

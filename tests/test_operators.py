@@ -808,3 +808,30 @@ def test_temperature_mixture_null_sources_excluded(spark):
     assert None not in counts
     assert counts["small"] == 125          # c_min is small's 125, not NULL's 3
     assert 400 <= counts["big"] <= 600     # rate (125/2000)^0.5 = 0.25
+
+
+def test_leakage_safe_splits_keep_clusters_together(spark):
+    """Near-dup cluster members always share a split; singletons follow
+    their own hash; no pair straddles a split boundary."""
+    from fineweb_legal_spark.operators.splits import leakage_safe_splits
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    # chain 0-1-2, pair (10,11), and a pair whose members' OWN hashes
+    # would split apart somewhere in 100 random pairs
+    import random
+
+    rng = random.Random(7)
+    edges = [(0, 1), (1, 2), (10, 11)] + [
+        tuple(sorted(rng.sample(range(500), 2))) for _ in range(100)
+    ]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = leakage_safe_splits(docs, pairs).collect()
+    split_of = {r["doc_id"]: r["split"] for r in out}
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in out}
+    assert len(split_of) == 500
+    for a, b in edges:
+        assert split_of[a] == split_of[b], (a, b)
+        assert cluster_of[a] == cluster_of[b]
+    # singleton keeps its own id and all three splits exist corpus-wide
+    assert cluster_of[499] == 499 or any(499 in e for e in edges)
+    assert {"train", "val", "test"} <= set(split_of.values())
