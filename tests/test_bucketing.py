@@ -4,6 +4,8 @@ bucket shuffle at write time)."""
 
 from __future__ import annotations
 
+import shutil
+
 import pyspark.sql.functions as F
 
 
@@ -281,3 +283,56 @@ def test_orphan_cleanup_custom_location_database(spark):
         spark.sql("DROP TABLE IF EXISTS b_custom.b_orphloc")
         spark.sql("DROP DATABASE IF EXISTS b_custom")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_staged_dedup_job_lifecycle(spark):
+    """jobs/run_staged_dedup.py end-to-end in a subprocess: init stages
+    the base; append dedups a slice against it with the bucket layout and
+    folds survivors back so the NEXT increment sees them."""
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    from fineweb_legal_spark.datasets import DATA_DIR
+
+    base = DATA_DIR / "tmp" / "staged_job"
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir(parents=True)
+    pd.DataFrame(
+        {"conv_id": ["a", "b", "c"], "turn_idx": [0, 0, 0],
+         "norm_key": ["k1", "k2", None]}
+    ).to_parquet(base / "init.parquet")
+    # slice: k2 duplicates the base; k9 new twice (intra-slice dup); a reject
+    pd.DataFrame(
+        {"conv_id": ["d", "e", "f", "g"], "turn_idx": [0, 0, 0, 0],
+         "norm_key": ["k2", "k9", "k9", None]}
+    ).to_parquet(base / "slice.parquet")
+
+    def run(*args):
+        p = subprocess.run(
+            [sys.executable, "jobs/run_staged_dedup.py",
+             "--warehouse", str(base / "wh"), "--master", "local[4]", *args],
+            capture_output=True, text=True, timeout=420, cwd="/root/repo",
+        )
+        assert p.returncode == 0, p.stderr[-800:]
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    try:
+        out = run("--table", "sj_base", "--mode", "init",
+                  "--input", str(base / "init.parquet"), "--buckets", "4")
+        assert out == {"mode": "init", "table": "sj_base", "rows": 3}
+        out = run("--table", "sj_base", "--mode", "append",
+                  "--input", str(base / "slice.parquet"), "--buckets", "4",
+                  "--output", str(base / "survivors"))
+        # survivors: e-or-f (k9 winner = min conv_id 'e') + reject g
+        assert out["survivors"] == 2
+        assert out["base_rows"] == 5
+        surv = {r.conv_id for r in
+                spark.read.parquet(str(base / "survivors")).collect()}
+        assert surv == {"e", "g"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS sj_base")
+        spark.sql("DROP TABLE IF EXISTS sj_base_slice")
+        shutil.rmtree(base, ignore_errors=True)
