@@ -182,6 +182,13 @@ def bucketed_incremental_dedup(
     `write_scored_bucketed`) embed their own order coordinates, so they
     can never collide with a slice key — committed rejects don't block
     future rows.
+
+    Measured (BENCH.md, 1.82M base + 182k slice, local[32]): steady
+    1.73 s vs 0.36 s for a classic shuffle-window re-dedup of the union
+    — on ONE box the ~35 MB slim exchange is free and the classic pass
+    wins. Use this operator when the base is large enough that
+    re-shuffling it every increment is the dominant cost (the 100-TB
+    regime it exists for), not as a local micro-optimization.
     """
     fresh = bucketed_dedup(spark, slice_table, key, order)
     base_keys = spark.table(base_table).select(key)
