@@ -70,10 +70,17 @@ def leakage_safe_splits(
     Scale shape: the component resolution is the dedup-graph CC already
     sized for 100 TB (hash-min + star fallback); the label join is one
     equi-join on the id, broadcast-able when the pair graph is sparse.
-    Output: df + (cluster_id, split).
+    Output: df + (cluster_id, split); any pre-existing cluster_id/split
+    columns (e.g. a frame that already went through semantic_dedup) are
+    replaced. Rows with a NULL key are EXCLUDED: they have no identity
+    to cluster or split on — md5(NULL) would otherwise silently funnel
+    every unkeyed row into the last split, the exact contamination this
+    function exists to prevent. Give rejects synthetic keys upstream
+    (write_scored_bucketed's trick) if they must be split.
     """
     from .cluster import connected_components
 
+    df = df.drop("cluster_id", "split").filter(F.col(key_col).isNotNull())
     cc = connected_components(pairs.select("id_a", "id_b"))
     labeled = df.join(
         cc.withColumnRenamed("id", key_col), key_col, "left"

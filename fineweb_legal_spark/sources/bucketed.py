@@ -159,7 +159,7 @@ def bucketed_dedup(
 
 def bucketed_incremental_dedup(
     spark: SparkSession,
-    base_table: str,
+    base_table: str | Sequence[str],
     slice_table: str,
     key: str = "norm_key",
     order: Sequence[str] = ("conv_id", "turn_idx"),
@@ -167,16 +167,20 @@ def bucketed_incremental_dedup(
     """Dedup a newly arrived slice against a staged base, zero Exchange.
 
     The incremental analog of `bucketed_dedup`: the base is the
-    already-committed staged table; the new slice is written with
+    already-committed staged table — or a FAMILY of identically-bucketed
+    tables (the base plus previously committed survivor slices, the
+    shape `jobs/run_staged_dedup.py` maintains so increments never
+    rewrite the base); the new slice is written with
     `write_scored_bucketed` at the SAME bucket count (its one small
     shuffle). The pass is then (a) intra-slice winners via the bucketed
-    window and (b) a left-anti sort-merge join against the base's keys —
-    both served by the bucket layout, so the plan has no Exchange and
+    window and (b) one left-anti sort-merge join per base-family table —
+    all served by the bucket layout, so the plan has no Exchange and
     the base is never re-shuffled no matter how large it has grown
     (tests/test_bucketing.py asserts the plan). This is the lineage
     registry contract (`lineage.py` anti-join) re-expressed over the
-    staged layout: per-increment cost is O(slice) + one scan of the
-    base's key column.
+    staged layout: per-increment cost is O(slice) + one scan of each
+    family member's key column. Bound the family size with periodic
+    offline compaction (the streaming registry's slice-count policy).
 
     The base's synthetic singleton keys ("\\x00"-prefixed rejects from
     `write_scored_bucketed`) embed their own order coordinates, so they
@@ -190,6 +194,8 @@ def bucketed_incremental_dedup(
     re-shuffling it every increment is the dominant cost (the 100-TB
     regime it exists for), not as a local micro-optimization.
     """
+    tables = [base_table] if isinstance(base_table, str) else list(base_table)
     fresh = bucketed_dedup(spark, slice_table, key, order)
-    base_keys = spark.table(base_table).select(key)
-    return fresh.join(base_keys, key, "left_anti")
+    for t in tables:
+        fresh = fresh.join(spark.table(t).select(key), key, "left_anti")
+    return fresh

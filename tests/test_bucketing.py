@@ -285,10 +285,78 @@ def test_orphan_cleanup_custom_location_database(spark):
         shutil.rmtree(loc, ignore_errors=True)
 
 
-def test_staged_dedup_job_lifecycle(spark):
-    """jobs/run_staged_dedup.py end-to-end in a subprocess: init stages
-    the base; append dedups a slice against it with the bucket layout and
-    folds survivors back so the NEXT increment sees them."""
+def _job_args(**kw):
+    import argparse
+
+    d = dict(table="sjl_base", mode="init", input=None, output=None,
+             buckets=4, master=None, warehouse=None)
+    d.update(kw)
+    return argparse.Namespace(**d)
+
+
+def test_staged_dedup_lifecycle_in_process(spark):
+    """run(): multi-slice anti-join (a key committed by slice 1 blocks
+    slice 2), compaction folds the family via rename-swap, and recovery
+    promotes a stranded generation."""
+    import importlib.util
+
+    import pandas as pd
+
+    from fineweb_legal_spark.datasets import DATA_DIR
+
+    spec = importlib.util.spec_from_file_location(
+        "run_staged_dedup", "/root/repo/jobs/run_staged_dedup.py"
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+
+    base = DATA_DIR / "tmp" / "staged_inproc"
+    shutil.rmtree(base, ignore_errors=True)
+    base.mkdir(parents=True)
+    pd.DataFrame({"conv_id": ["a", "b"], "turn_idx": [0, 0],
+                  "norm_key": ["k1", "k2"]}).to_parquet(base / "i.parquet")
+    pd.DataFrame({"conv_id": ["c", "d"], "turn_idx": [0, 0],
+                  "norm_key": ["k2", "k9"]}).to_parquet(base / "s1.parquet")
+    # k9 must be blocked by SLICE 1's commit, not the base; k5 is new
+    pd.DataFrame({"conv_id": ["e", "f"], "turn_idx": [0, 0],
+                  "norm_key": ["k9", "k5"]}).to_parquet(base / "s2.parquet")
+
+    for t in ("sjl_base", "sjl_base__s1", "sjl_base__s2",
+              "sjl_base__staging", "sjl_base__gen2", "sjl_base__old2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        out = job.run(spark, _job_args(mode="init", input=str(base / "i.parquet")))
+        assert out["rows"] == 2
+        out = job.run(spark, _job_args(mode="append", input=str(base / "s1.parquet")))
+        assert out["slice"] == "sjl_base__s1" and out["survivors"] == 1  # k9
+        out = job.run(spark, _job_args(mode="append", input=str(base / "s2.parquet")))
+        assert out["slice"] == "sjl_base__s2" and out["survivors"] == 1  # k5 only
+        assert out["family_rows"] == 4
+        out = job.run(spark, _job_args(mode="compact"))
+        assert out == {"mode": "compact", "table": "sjl_base",
+                       "folded": 2, "rows": 4}
+        keys = {r.norm_key for r in spark.table("sjl_base").collect()}
+        assert keys == {"k1", "k2", "k9", "k5"}
+        assert not spark.catalog.tableExists("sjl_base__s1")
+
+        # crash recovery: strand the base as a generation (the state after
+        # "gen written + old renamed aside, live rename not reached")
+        spark.sql("ALTER TABLE sjl_base RENAME TO sjl_base__gen7")
+        out = job.run(spark, _job_args(mode="compact"))  # triggers _recover
+        assert spark.catalog.tableExists("sjl_base")
+        assert out["folded"] == 0
+        assert spark.table("sjl_base").count() == 4
+    finally:
+        for t in ("sjl_base", "sjl_base__s1", "sjl_base__s2",
+                  "sjl_base__staging", "sjl_base__gen2", "sjl_base__gen7",
+                  "sjl_base__old2"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_staged_dedup_job_cross_run(spark):
+    """The spark-submit launcher across two real processes: the persistent
+    catalog carries the base family between runs."""
     import json
     import subprocess
     import sys
@@ -324,15 +392,13 @@ def test_staged_dedup_job_lifecycle(spark):
                   "--input", str(base / "init.parquet"), "--buckets", "4")
         assert out == {"mode": "init", "table": "sj_base", "rows": 3}
         out = run("--table", "sj_base", "--mode", "append",
-                  "--input", str(base / "slice.parquet"), "--buckets", "4",
+                  "--input", str(base / "slice.parquet"),
                   "--output", str(base / "survivors"))
-        # survivors: e-or-f (k9 winner = min conv_id 'e') + reject g
+        # survivors: e (k9 winner = min conv_id) + reject g
         assert out["survivors"] == 2
-        assert out["base_rows"] == 5
+        assert out["family_rows"] == 5
         surv = {r.conv_id for r in
                 spark.read.parquet(str(base / "survivors")).collect()}
         assert surv == {"e", "g"}
     finally:
-        spark.sql("DROP TABLE IF EXISTS sj_base")
-        spark.sql("DROP TABLE IF EXISTS sj_base_slice")
         shutil.rmtree(base, ignore_errors=True)

@@ -835,3 +835,22 @@ def test_leakage_safe_splits_keep_clusters_together(spark):
     # singleton keeps its own id and all three splits exist corpus-wide
     assert cluster_of[499] == 499 or any(499 in e for e in edges)
     assert {"train", "val", "test"} <= set(split_of.values())
+
+
+def test_leakage_safe_splits_null_keys_and_recluster(spark):
+    """NULL-key rows are excluded (no identity -> they must not silently
+    pile into the last split), and a frame that already carries
+    cluster_id/split (e.g. semantic_dedup output) is relabeled without
+    ambiguous-column errors."""
+    from fineweb_legal_spark.operators.splits import leakage_safe_splits
+
+    docs = spark.createDataFrame(
+        [(1, 10, "train"), (2, 10, "test"), (None, 99, "val")],
+        "doc_id long, cluster_id long, split string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    out = leakage_safe_splits(docs, pairs).collect()
+    got = {r["doc_id"]: (r["cluster_id"], r["split"]) for r in out}
+    assert set(got) == {1, 2}              # NULL key excluded
+    assert got[1][0] == got[2][0] == 1     # old cluster_id replaced
+    assert got[1][1] == got[2][1]          # pair shares a split
