@@ -268,3 +268,56 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select("source", "rank", "term", "tfidf")
     )
+
+
+# Gopher rule thresholds (Rae et al. 2021, Table A1): max fraction of
+# characters in the most common n-gram
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+def filter_repetition(
+    df: DataFrame,
+    thresholds: dict[int, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher repetition FILTER: df + (rep_reject_reason) where the reason
+    names the first violated rule ("top_2gram", ...) or is null for keeps.
+    Composes repetition_signals (one pass, two map-side-combinable
+    exchanges) with a broadcast-able verdict join back on the id — docs
+    too short to form an n-gram trivially pass that rule, like the
+    reference's length-gated heuristics. Thresholds default to the
+    published Gopher values. A top gram occurring ONCE is not
+    repetition: short documents would trivially "violate" any fraction
+    threshold (one 18-char bigram is 36% of a 50-char doc), so the rule
+    only fires at top_cnt >= 2 — the length-gating Gopher gets
+    implicitly from web-scale document lengths, made explicit here.
+    """
+    thresholds = GOPHER_TOP_NGRAM_MAX if thresholds is None else thresholds
+    sig = repetition_signals(df, ns=tuple(sorted(thresholds)), id_col=id_col,
+                             text_col=text_col)
+    viol = (
+        sig.withColumn(
+            "_thr",
+            F.coalesce(
+                *[
+                    F.when(F.col("n") == n, F.lit(t))
+                    for n, t in sorted(thresholds.items())
+                ]
+            ),
+        )
+        .filter(
+            (F.col("top_cnt") >= 2)
+            & (F.col("top_gram_char_frac") > F.col("_thr"))
+        )
+        .groupBy(id_col)
+        .agg(F.min("n").alias("_bad_n"))
+    )
+    return df.join(viol, id_col, "left").withColumn(
+        "rep_reject_reason",
+        F.when(
+            F.col("_bad_n").isNotNull(),
+            F.concat(F.lit("top_"), F.col("_bad_n").cast("string"),
+                     F.lit("gram")),
+        ),
+    ).drop("_bad_n")

@@ -854,3 +854,21 @@ def test_leakage_safe_splits_null_keys_and_recluster(spark):
     assert set(got) == {1, 2}              # NULL key excluded
     assert got[1][0] == got[2][0] == 1     # old cluster_id replaced
     assert got[1][1] == got[2][1]          # pair shares a split
+
+
+def test_filter_repetition_gopher_thresholds(spark):
+    from fineweb_legal_spark.operators.textql import filter_repetition
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark spark spark spark"),  # extreme repetition
+            (2, "a perfectly ordinary sentence with no repeats here"),
+            (3, "one"),   # too short to form any n-gram -> passes
+            (4, None),    # null text -> passes (no signal)
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["rep_reject_reason"]
+           for r in filter_repetition(docs).collect()}
+    assert got[1] == "top_2gram"  # smallest violated n reported
+    assert got[2] is None and got[3] is None and got[4] is None
