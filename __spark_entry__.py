@@ -806,14 +806,38 @@ def q_tfidf_top_terms_docs(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=5)
 
 
-def q_repetition_topgram_docs(spark, sf_dir):
-    # Gopher-style repetition quality signal: per doc and n in (2,3,4),
-    # the most frequent word n-gram and the fraction of the document's
-    # characters its occurrences cover (ties -> lexicographically
-    # greatest gram). Zero lambda HOFs, zero word-level shuffle.
-    from fineweb_legal_spark.operators.textql import repetition_signals
+def q_repetition_signals_docs(spark, sf_dir):
+    # Gopher repetition-rule signals, tagged union of the family's two
+    # halves (Rae et al. 2021 §A1.1): signal='top_gram' — per doc and
+    # n in (2,3,4), the most frequent word n-gram and the fraction of the
+    # document's characters its occurrences cover (ties ->
+    # lexicographically greatest gram; zero lambda HOFs, zero word-level
+    # shuffle); signal='dup_gram' — per doc and n in (5..10), the
+    # interval-unioned word-char fraction covered by ALL duplicated
+    # n-grams (pure per-row Arrow pass, zero Exchange).
+    from fineweb_legal_spark.operators.textql import (
+        dup_ngram_signals,
+        repetition_signals,
+    )
 
-    return repetition_signals(_t(spark, sf_dir, "documents"))
+    docs = _t(spark, sf_dir, "documents")
+    top = repetition_signals(docs).select(
+        "doc_id",
+        F.lit("top_gram").alias("signal"),
+        F.col("n").cast("int").alias("n"),
+        F.col("top_gram").alias("gram"),
+        F.col("top_cnt").cast("long").alias("cnt"),
+        F.col("top_gram_char_frac").alias("char_frac"),
+    )
+    dup = dup_ngram_signals(docs).select(
+        "doc_id",
+        F.lit("dup_gram").alias("signal"),
+        F.col("n").cast("int").alias("n"),
+        F.lit(None).cast("string").alias("gram"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.col("dup_char_frac").alias("char_frac"),
+    )
+    return top.unionByName(dup)
 
 
 def q_validate_structure_t2(spark, sf_dir):
@@ -1459,7 +1483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_t1": q_dedup_clusters_rollup_t1,
         "mixture_sample_docs": q_mixture_sample_docs,
         "tfidf_top_terms_docs": q_tfidf_top_terms_docs,
-        "repetition_topgram_docs": q_repetition_topgram_docs,
+        "repetition_signals_docs": q_repetition_signals_docs,
         "semantic_dedup_embs": q_semantic_dedup_embs,
         "decontaminate_docs": q_decontaminate_docs,
         "scrub_repeated_spans_docs": q_scrub_repeated_spans_docs,
@@ -2208,7 +2232,7 @@ def _oracle_base() -> dict[str, str]:
                    (emb.vec_id = coalesce(cc.cluster_id, emb.vec_id)) AS keep
             FROM embeddings emb LEFT JOIN cc ON emb.vec_id = cc.id
         """,
-        "repetition_topgram_docs": """
+        "repetition_signals_docs": """
             WITH base AS (
               SELECT doc_id, length(text) AS chars,
                      list_filter(
@@ -2247,11 +2271,56 @@ def _oracle_base() -> dict[str, str]:
                      row_number() OVER (PARTITION BY doc_id, n
                          ORDER BY covered DESC, gram DESC) AS rn
               FROM counts
+            ),
+            dns(n) AS (VALUES (5), (6), (7), (8), (9), (10)),
+            ddocs AS (
+              SELECT b.doc_id, b.w, dns.n, len(b.w) AS nw,
+                     CAST(list_sum(list_transform(b.w, x -> length(x)))
+                          AS BIGINT) AS wchars
+              FROM base b CROSS JOIN dns WHERE len(b.w) >= dns.n
+            ),
+            dpos AS (
+              SELECT doc_id, n, w,
+                     unnest(generate_series(1, nw - n + 1)) AS i
+              FROM ddocs
+            ),
+            dg AS (
+              SELECT doc_id, n, i,
+                     array_to_string(w[i : i + n - 1], ' ') AS gram
+              FROM dpos
+            ),
+            ddup AS (
+              SELECT doc_id, n, gram FROM dg
+              GROUP BY doc_id, n, gram HAVING count(*) >= 2
+            ),
+            dhits AS (
+              SELECT dg.doc_id, dg.n, dg.i
+              FROM dg JOIN ddup USING (doc_id, n, gram)
+            ),
+            dcov AS (
+              SELECT DISTINCT doc_id, n, j FROM (
+                SELECT doc_id, n,
+                       unnest(generate_series(i, i + n - 1)) AS j
+                FROM dhits)
+            ),
+            dcch AS (
+              SELECT c.doc_id, c.n,
+                     CAST(sum(length(d.w[c.j])) AS BIGINT) AS cch
+              FROM dcov c JOIN ddocs d
+                ON d.doc_id = c.doc_id AND d.n = c.n
+              GROUP BY c.doc_id, c.n
             )
-            SELECT doc_id, n, gram AS top_gram, cnt AS top_cnt,
-                   round(CAST(covered AS DOUBLE) / chars, 6)
-                       AS top_gram_char_frac
+            SELECT doc_id, 'top_gram' AS signal, n, gram, cnt,
+                   round(CAST(covered AS DOUBLE) / chars, 6) AS char_frac
             FROM ranked WHERE rn = 1
+            UNION ALL
+            SELECT d.doc_id, 'dup_gram' AS signal, d.n,
+                   CAST(NULL AS VARCHAR) AS gram,
+                   CAST(NULL AS BIGINT) AS cnt,
+                   round(CAST(coalesce(cc.cch, 0) AS DOUBLE) / d.wchars, 6)
+                       AS char_frac
+            FROM ddocs d LEFT JOIN dcch cc
+              ON cc.doc_id = d.doc_id AND cc.n = d.n
         """,
         "tfidf_top_terms_docs": """
             WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),
@@ -2634,7 +2703,7 @@ def oracle_sql() -> dict[str, str]:
             "strip_boilerplate_t1",
             "mixture_sample_docs",
             "tfidf_top_terms_docs",
-            "repetition_topgram_docs",
+            "repetition_signals_docs",
             "semantic_dedup_embs",
             "decontaminate_docs",
             "pq_ann_topk",

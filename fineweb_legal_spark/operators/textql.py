@@ -274,50 +274,193 @@ def tfidf_top_terms(
 # characters in the most common n-gram
 GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
 
+# ... and max fraction of characters inside DUPLICATE n-grams (same table,
+# the family's other half: all n-grams occurring more than once, coverage
+# counted once per word even when duplicated grams overlap)
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def dup_ngram_signals(
+    df: DataFrame,
+    ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher duplicate-n-gram coverage (Rae et al. 2021 §A1.1 "fraction
+    of characters in duplicate n-grams", the top-n-gram family's sibling —
+    ``repetition_signals`` measures the single most frequent gram, this
+    measures ALL grams that occur more than once).
+
+    Output: (id, n, dup_char_frac) per document per n in ``ns`` —
+    ``dup_char_frac`` = word characters covered by at least one occurrence
+    of a duplicated n-gram / total word characters, with overlapping gram
+    intervals unioned so no character is counted twice (the published
+    rule's stated semantics). Characters are WORD characters under the
+    dedup normalization (lowercase, ASCII-whitespace tokens — the same
+    boundary as decontam/spandedup and the DuckDB oracle); separator
+    whitespace is excluded from numerator and denominator alike, which
+    makes the fraction invariant to run-length of whitespace. Documents
+    with fewer than n words omit that n's row (no gram can form), matching
+    ``repetition_signals``.
+
+    Scale shape: the signal is a pure per-row function of the document, so
+    the plan is ONE mapInPandas over (id, text) — zero Exchange, zero
+    lambda HOFs, embarrassingly parallel (pytest-pinned). Per n the kernel
+    is vectorized: the shared crc32+Horner rolling-hash stream
+    (``decontam.rolling_gram_hash_stream``) finds duplicate gram hashes
+    via np.unique, and interval union is a diff-array cumsum — O(words)
+    numpy per (doc, n), no Python-level gram loop. Hash identity: two
+    DIFFERENT grams of one document colliding under the 64-bit rolling
+    hash would overstate coverage; at ~10^4 grams/doc the in-doc birthday
+    bound is ~10^-12 — the same accepted trade as decontam, and
+    unobservable at test scale.
+    """
+    import numpy as np
+
+    from .decontam import ascii_words, rolling_gram_hash_stream
+
+    ns_sorted = tuple(sorted(ns))
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("_frac", T.DoubleType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id: list[int] = []
+            out_n: list[int] = []
+            out_f: list[float] = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                w = ascii_words(text)
+                if len(w) < ns_sorted[0]:
+                    continue
+                wl = np.fromiter(
+                    (len(x) for x in w), dtype=np.int64, count=len(w)
+                )
+                total = int(wl.sum())
+                for n in ns_sorted:
+                    if len(w) < n:
+                        break  # ns sorted: larger n can't fit either
+                    g = rolling_gram_hash_stream(w, n)
+                    _, inv, cnt = np.unique(
+                        g, return_inverse=True, return_counts=True
+                    )
+                    starts = np.nonzero(cnt[inv] >= 2)[0]
+                    if len(starts):
+                        d = np.zeros(len(w) + 1, dtype=np.int64)
+                        np.add.at(d, starts, 1)
+                        np.add.at(d, starts + n, -1)
+                        covered = np.cumsum(d[:-1]) > 0
+                        frac = float(wl[covered].sum()) / total
+                    else:
+                        frac = 0.0
+                    out_id.append(int(rid))
+                    out_n.append(n)
+                    out_f.append(frac)
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        id_col: pd.array(out_id, dtype="int64"),
+                        "n": pd.array(out_n, dtype="int32"),
+                        "_frac": pd.array(out_f, dtype="float64"),
+                    }
+                )
+
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(id_col, text_col)
+        .mapInPandas(fn, schema)
+        # round JVM-side (HALF_UP, same as the oracle's round()) — Python's
+        # round() is half-even and would diverge on exact midpoints
+        .select(
+            id_col, "n", F.round("_frac", 6).alias("dup_char_frac")
+        )
+    )
+
 
 def filter_repetition(
     df: DataFrame,
     thresholds: dict[int, float] | None = None,
+    dup_thresholds: dict[int, float] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Gopher repetition FILTER: df + (rep_reject_reason) where the reason
-    names the first violated rule ("top_2gram", ...) or is null for keeps.
-    Composes repetition_signals (one pass, two map-side-combinable
-    exchanges) with a broadcast-able verdict join back on the id — docs
-    too short to form an n-gram trivially pass that rule, like the
-    reference's length-gated heuristics. Thresholds default to the
-    published Gopher values. A top gram occurring ONCE is not
-    repetition: short documents would trivially "violate" any fraction
-    threshold (one 18-char bigram is 36% of a 50-char doc), so the rule
-    only fires at top_cnt >= 2 — the length-gating Gopher gets
-    implicitly from web-scale document lengths, made explicit here.
+    names the first violated rule ("top_2gram" < "top_3gram" < ... <
+    "dup_5gram" < ...) or is null for keeps. Composes repetition_signals
+    (one pass, two map-side-combinable exchanges) and dup_ngram_signals
+    (one zero-Exchange Arrow pass) with a broadcast-able verdict join back
+    on the id — docs too short to form an n-gram trivially pass that rule,
+    like the reference's length-gated heuristics. Thresholds default to
+    the published Gopher values; pass ``{}`` to disable a family. A top
+    gram occurring ONCE is not repetition: short documents would trivially
+    "violate" any fraction threshold (one 18-char bigram is 36% of a
+    50-char doc), so the top rule only fires at top_cnt >= 2 — the
+    length-gating Gopher gets implicitly from web-scale document lengths,
+    made explicit here. The dup rule needs no such gate: coverage is zero
+    unless some gram genuinely occurs twice.
     """
     thresholds = GOPHER_TOP_NGRAM_MAX if thresholds is None else thresholds
-    sig = repetition_signals(df, ns=tuple(sorted(thresholds)), id_col=id_col,
-                             text_col=text_col)
-    viol = (
-        sig.withColumn(
-            "_thr",
-            F.coalesce(
-                *[
-                    F.when(F.col("n") == n, F.lit(t))
-                    for n, t in sorted(thresholds.items())
-                ]
-            ),
-        )
-        .filter(
-            (F.col("top_cnt") >= 2)
-            & (F.col("top_gram_char_frac") > F.col("_thr"))
-        )
-        .groupBy(id_col)
-        .agg(F.min("n").alias("_bad_n"))
+    dup_thresholds = (
+        GOPHER_DUP_NGRAM_MAX if dup_thresholds is None else dup_thresholds
     )
-    return df.join(viol, id_col, "left").withColumn(
-        "rep_reject_reason",
-        F.when(
-            F.col("_bad_n").isNotNull(),
-            F.concat(F.lit("top_"), F.col("_bad_n").cast("string"),
-                     F.lit("gram")),
-        ),
-    ).drop("_bad_n")
+
+    def _thr_col(thr: dict[int, float]):
+        return F.coalesce(
+            *[F.when(F.col("n") == n, F.lit(t)) for n, t in sorted(thr.items())]
+        )
+
+    parts: list[DataFrame] = []
+    if thresholds:
+        sig = repetition_signals(
+            df, ns=tuple(sorted(thresholds)), id_col=id_col, text_col=text_col
+        )
+        parts.append(
+            sig.withColumn("_thr", _thr_col(thresholds))
+            .filter(
+                (F.col("top_cnt") >= 2)
+                & (F.col("top_gram_char_frac") > F.col("_thr"))
+            )
+            .select(
+                F.col(id_col),
+                F.col("n").alias("_order"),
+                F.concat(
+                    F.lit("top_"), F.col("n").cast("string"), F.lit("gram")
+                ).alias("_reason"),
+            )
+        )
+    if dup_thresholds:
+        dup = dup_ngram_signals(
+            df, ns=tuple(sorted(dup_thresholds)), id_col=id_col,
+            text_col=text_col,
+        )
+        parts.append(
+            dup.withColumn("_thr", _thr_col(dup_thresholds))
+            .filter(F.col("dup_char_frac") > F.col("_thr"))
+            .select(
+                F.col(id_col),
+                # dup rules sort after every top rule, then by n
+                (F.col("n") + F.lit(100)).alias("_order"),
+                F.concat(
+                    F.lit("dup_"), F.col("n").cast("string"), F.lit("gram")
+                ).alias("_reason"),
+            )
+        )
+    if not parts:
+        return df.withColumn("rep_reject_reason", F.lit(None).cast("string"))
+    allv = parts[0]
+    for p in parts[1:]:
+        allv = allv.unionByName(p)
+    viol = allv.groupBy(id_col).agg(
+        F.min(F.struct("_order", "_reason")).alias("_v")
+    )
+    return (
+        df.join(viol, id_col, "left")
+        .withColumn("rep_reject_reason", F.col("_v._reason"))
+        .drop("_v")
+    )

@@ -872,3 +872,121 @@ def test_filter_repetition_gopher_thresholds(spark):
            for r in filter_repetition(docs).collect()}
     assert got[1] == "top_2gram"  # smallest violated n reported
     assert got[2] is None and got[3] is None and got[4] is None
+
+
+def test_dup_ngram_signals_exact_and_plan(spark):
+    from fineweb_legal_spark.operators.textql import dup_ngram_signals
+
+    docs = spark.createDataFrame(
+        [
+            # "a b c d e" at word 0 and 5 (disjoint) -> 10 of 12 unit-len
+            # words covered at n=5; no duplicate 6-gram
+            (1, "a b c d e a b c d e x y"),
+            (2, "w1 w2 w3 w4 w5 w6"),  # no repeats -> 0.0 rows still emitted
+            (3, None),                  # null text -> excluded
+            (4, "p q r s"),             # < 5 words -> no rows at all
+            (5, "a a a a a a a"),       # overlapping dups -> union, not 3x
+        ],
+        ["doc_id", "text"],
+    )
+    out = dup_ngram_signals(docs, ns=(5, 6))
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # scale contract: a pure per-row signal -- zero Exchange in the plan
+    assert ") Exchange" not in plan, plan
+    got = {(r["doc_id"], r["n"]): r["dup_char_frac"] for r in out.collect()}
+    assert got[(1, 5)] == round(10 / 12, 6)
+    assert got[(1, 6)] == 0.0
+    assert got[(2, 5)] == 0.0 and got[(2, 6)] == 0.0
+    # doc 5: all three 5-gram starts duplicate; interval union covers all
+    # 7 words exactly once -> 1.0 (a per-occurrence count would give >1)
+    assert got[(5, 5)] == 1.0 and got[(5, 6)] == 1.0
+    assert {k[0] for k in got} == {1, 2, 5}
+
+
+def test_dup_ngram_signals_randomized_python_parity(spark):
+    """150 seeded random docs (tiny vocab -> heavy gram collisions, mixed
+    whitespace): Spark (crc32+Horner hash kernel) == a pure-Python
+    string-Counter twin with interval-union coverage, frac to 1e-6."""
+    import random
+    import re as _re
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "ab", "the", "xx", "spark", "q", "zz"]
+    seps = [" ", " ", " ", "\t", "\n", "  "]
+    docs = []
+    for i in range(150):
+        k = rng.randint(0, 40)
+        if k == 0:
+            docs.append((i, rng.choice([None, "", "   "])))
+            continue
+        words = [rng.choice(vocab) for _ in range(k)]
+        docs.append(
+            (i, words[0] + "".join(rng.choice(seps) + w for w in words[1:]))
+        )
+
+    from fineweb_legal_spark.operators.textql import dup_ngram_signals
+
+    ns = (5, 6, 7, 8, 9, 10)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["n"]): r["dup_char_frac"]
+        for r in dup_ngram_signals(df, ns=ns).collect()
+    }
+
+    want = {}
+    for i, text in docs:
+        if text is None:
+            continue
+        w = [x for x in _re.split(r"[ \t\n\r\f\x0b]+", text.lower()) if x]
+        total = sum(len(x) for x in w)
+        for n in ns:
+            if len(w) < n:
+                continue
+            grams = [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
+            cnt = Counter(grams)
+            covered: set[int] = set()
+            for j, g in enumerate(grams):
+                if cnt[g] >= 2:
+                    covered.update(range(j, j + n))
+            want[(i, n)] = sum(len(w[j]) for j in covered) / total
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-6, (k, got[k], v)
+
+
+def test_filter_repetition_dup_gram_rule(spark):
+    from fineweb_legal_spark.operators.textql import filter_repetition
+
+    # a 5-word phrase repeated 3x between unique 5-char filler words:
+    # dup_5gram coverage 66/366 = 0.18 > 0.15 fires, while every top-n
+    # fraction stays under its threshold (top_4 = 66/440 = 0.15 < 0.16)
+    phrase = "alpha beta gamma delta eps"
+    filler = [f"fil{i:02d}" for i in range(60)]
+    words = (
+        filler[0:20] + phrase.split() + filler[20:40] + phrase.split()
+        + filler[40:60] + phrase.split()
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(words)),
+            (2, "spark spark spark spark spark spark"),  # top_2 AND dup_5
+            (3, "a clean sentence with nothing repeated anywhere at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["rep_reject_reason"]
+           for r in filter_repetition(docs).collect()}
+    assert got[1] == "dup_5gram"
+    assert got[2] == "top_2gram"  # top rules outrank dup rules
+    assert got[3] is None
+    # family can be disabled independently
+    got_top_only = {
+        r["doc_id"]: r["rep_reject_reason"]
+        for r in filter_repetition(docs, dup_thresholds={}).collect()
+    }
+    assert got_top_only[1] is None and got_top_only[2] == "top_2gram"

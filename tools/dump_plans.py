@@ -67,12 +67,14 @@ PICKS = {
         "exchanges carry term/doc and source/term pairs, never text; "
         "top-k per source is a small window after the join."
     ),
-    "repetition_topgram_docs": (
-        "Gopher top-n-gram repetition: n-grams built row-locally "
-        "(arrays_zip over shifted slices + chained explodes - no lambda "
-        "HOFs, no word-level shuffle); exactly two exchanges, both "
-        "map-side combinable (distinct (doc, n, gram) triples, then one "
-        "row per (doc, n)); top-1 is max(struct), not a window."
+    "repetition_signals_docs": (
+        "Gopher repetition family, tagged union. top_gram branch: n-grams "
+        "built row-locally (arrays_zip over shifted slices + chained "
+        "explodes - no lambda HOFs, no word-level shuffle); exactly two "
+        "exchanges, both map-side combinable (distinct (doc, n, gram) "
+        "triples, then one row per (doc, n)); top-1 is max(struct), not a "
+        "window. dup_gram branch: pure per-row Arrow pass (crc32+Horner "
+        "hash stream + diff-array interval union) - zero Exchange."
     ),
     "mixture_sample_docs": (
         "Per-source rate thresholds broadcast; the md5-prefix filter runs "
