@@ -783,11 +783,19 @@ def q_jaccard_exact_docs(spark, sf_dir):
     return exact_jaccard_pairs(d, threshold=0.8)
 
 
-def q_strip_boilerplate_t1(spark, sf_dir):
-    # corpus-level boilerplate: lines appearing in >=20 distinct turns
-    # (canned acknowledgements in the synthetic transcripts) are stripped,
-    # preserving the order of surviving lines (operators/boilerplate.py)
-    from fineweb_legal_spark.operators.boilerplate import strip_common_lines
+def q_line_hygiene_t1(spark, sf_dir):
+    # line hygiene, tagged union of the family's two schools
+    # (operators/boilerplate.py): mode='corpus_common' — data-driven C4/
+    # RefinedWeb corpus-frequency strip (lines appearing in >=20 distinct
+    # turns — canned acknowledgements in the synthetic transcripts —
+    # removed, surviving-line order preserved); mode='c4_local' — C4's
+    # stateless line-local rules (terminal punctuation, >=3 words, no
+    # "javascript") plus the page verdicts (lorem ipsum / brace /
+    # min-kept-lines), a zero-Exchange per-row Arrow pass.
+    from fineweb_legal_spark.operators.boilerplate import (
+        c4_line_filter,
+        strip_common_lines,
+    )
 
     t = spark.read.parquet(str(ensure_transcripts("t1"))).select(
         F.concat_ws(
@@ -795,7 +803,18 @@ def q_strip_boilerplate_t1(spark, sf_dir):
         ).alias("doc_id"),
         "text",
     )
-    return strip_common_lines(t, min_docs=20, id_col="doc_id")
+    corpus = strip_common_lines(t, min_docs=20, id_col="doc_id").select(
+        F.lit("corpus_common").alias("mode"),
+        "id",
+        "clean_text",
+        F.lit(None).cast("long").alias("n_kept"),
+        F.lit(None).cast("string").alias("verdict"),
+    )
+    c4 = c4_line_filter(t, min_words=3, min_lines=1, id_col="doc_id").select(
+        F.lit("c4_local").alias("mode"), "id", "clean_text", "n_kept",
+        "verdict",
+    )
+    return corpus.unionByName(c4)
 
 
 def q_tfidf_top_terms_docs(spark, sf_dir):
@@ -1478,7 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_analysis_docs": q_text_analysis_docs,
         "media_audit": q_media_audit,
         "pack_conversations_t1": q_pack_conversations_t1,
-        "strip_boilerplate_t1": q_strip_boilerplate_t1,
+        "line_hygiene_t1": q_line_hygiene_t1,
         "neardup_pairs": q_neardup_pairs,
         "dedup_clusters_t1": q_dedup_clusters_rollup_t1,
         "mixture_sample_docs": q_mixture_sample_docs,
@@ -2413,7 +2432,7 @@ def _oracle_base() -> dict[str, str]:
             FROM c GROUP BY token ORDER BY token
         """,
         "mixture_sample_docs": _mixture_oracle_sql(),
-        "strip_boilerplate_t1": f"""
+        "line_hygiene_t1": f"""
             WITH t AS (
               SELECT conv_id || '#' || printf('%06d', turn_idx) AS id, text
               FROM read_parquet('{ensure_transcripts("t1")}')
@@ -2437,11 +2456,46 @@ def _oracle_base() -> dict[str, str]:
               SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
               FROM lines WHERE line NOT IN (SELECT line FROM common)
               GROUP BY id
+            ),
+            c4k AS (
+              SELECT id, text,
+                     list_filter(string_split(text, chr(10)), l ->
+                       regexp_matches(
+                         trim(l, ' ' || chr(9) || chr(13) || chr(12)
+                              || chr(11)),
+                         '[.!?"]$')
+                       AND len(list_filter(
+                             regexp_split_to_array(l, '[ \t\n\r\f\x0b]+'),
+                             x -> x <> '')) >= 3
+                       AND NOT contains(lower(l), 'javascript')
+                     ) AS keptl
+              FROM t WHERE text IS NOT NULL
+            ),
+            c4f AS (
+              SELECT t.id,
+                     CASE WHEN t.text IS NULL THEN NULL
+                          -- array_to_string([]) is NULL in DuckDB, not ''
+                          ELSE coalesce(array_to_string(k.keptl, chr(10)), '')
+                     END AS clean_text,
+                     CAST(CASE WHEN t.text IS NULL THEN NULL
+                               ELSE len(k.keptl) END AS BIGINT) AS n_kept,
+                     CASE WHEN t.text IS NULL THEN 'drop_null'
+                          WHEN contains(lower(t.text), 'lorem ipsum')
+                              THEN 'drop_lorem_ipsum'
+                          WHEN contains(t.text, '{{') THEN 'drop_brace'
+                          WHEN len(k.keptl) < 1 THEN 'drop_min_lines'
+                          ELSE 'keep' END AS verdict
+              FROM t LEFT JOIN c4k k ON k.id = t.id
             )
-            SELECT t.id,
+            SELECT 'corpus_common' AS mode, t.id,
                    CASE WHEN t.text IS NULL THEN NULL
-                        ELSE coalesce(r.clean_text, '') END AS clean_text
+                        ELSE coalesce(r.clean_text, '') END AS clean_text,
+                   CAST(NULL AS BIGINT) AS n_kept,
+                   CAST(NULL AS VARCHAR) AS verdict
             FROM t LEFT JOIN rebuilt r ON r.id = t.id
+            UNION ALL
+            SELECT 'c4_local' AS mode, id, clean_text, n_kept, verdict
+            FROM c4f
         """,
         "decontaminate_docs": """
             WITH words AS (
@@ -2700,7 +2754,7 @@ def oracle_sql() -> dict[str, str]:
             "web_filter_verdicts",
             "web_stage_counts",
             "pack_conversations_t1",
-            "strip_boilerplate_t1",
+            "line_hygiene_t1",
             "mixture_sample_docs",
             "tfidf_top_terms_docs",
             "repetition_signals_docs",

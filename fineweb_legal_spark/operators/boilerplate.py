@@ -153,3 +153,105 @@ def strip_common_lines(
         .when(F.col("_had_text"), F.lit(""))
         .alias("clean_text"),
     )
+
+
+# --- C4 line-LOCAL hygiene (Raffel et al. 2020 §2.2) -------------------------
+
+# identical token boundary to decontam.ascii_words / the DuckDB oracles
+_C4_WS = __import__("re").compile(r"[ \t\n\r\f\x0b]+")
+# what Python str.strip / DuckDB trim(l, chars) share: ASCII ws minus \n
+# (lines never contain \n post-split)
+_C4_STRIP = " \t\r\f\x0b"
+_C4_TERMINAL = frozenset('.!?"')
+
+_C4_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType()),
+        T.StructField("clean_text", T.StringType()),
+        T.StructField("n_kept", T.LongType()),
+        T.StructField("verdict", T.StringType()),
+    ]
+)
+
+
+def c4_line_filter(
+    docs: DataFrame,
+    min_words: int = 3,
+    min_lines: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4's line-LOCAL cleaning rules (Raffel et al. 2020 §2.2), the
+    stateless sibling of ``strip_common_lines``'s corpus-frequency rule:
+
+    - a line is KEPT iff its (ASCII-ws-)stripped form ends in terminal
+      punctuation (``. ! ? "``), it has >= ``min_words`` whitespace words,
+      and it does not mention "javascript" (case-insensitive);
+    - the PAGE verdict is 'drop_null' (null text), 'drop_lorem_ipsum'
+      (page contains "lorem ipsum", case-insensitive), 'drop_brace' (page
+      contains "{" — code, not prose), 'drop_min_lines' (< ``min_lines``
+      kept lines), else 'keep' — first violated rule wins, same shape as
+      the pipeline's heuristic reason cascade.
+
+    Output: (id, clean_text, n_kept, verdict); ``clean_text`` is the kept
+    lines (ORIGINAL, unstripped) rejoined with \\n — '' when none survive,
+    null for null text (n_kept likewise null).
+
+    Scale shape: a pure per-row function — ONE mapInPandas over
+    (id, text), zero Exchange (pytest-pinned), parallel with input splits;
+    text never crosses the wire. The per-line predicate loop is Python,
+    the same accepted inherently-per-string class as MinHash shingling,
+    and it is the cheap end of that class: a handful of find/endswith ops
+    per line, no hashing.
+    """
+    min_words_, min_lines_ = int(min_words), int(min_lines)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id: list[str] = []
+            out_text: list[str | None] = []
+            out_n: list[int | None] = []
+            out_v: list[str] = []
+            for rid, text in zip(pdf[id_col], pdf[text_col]):
+                out_id.append(rid)
+                if text is None:
+                    out_text.append(None)
+                    out_n.append(None)
+                    out_v.append("drop_null")
+                    continue
+                kept = []
+                for line in text.split("\n"):
+                    s = line.strip(_C4_STRIP)
+                    if not s or s[-1] not in _C4_TERMINAL:
+                        continue
+                    if sum(1 for w in _C4_WS.split(line) if w) < min_words_:
+                        continue
+                    if "javascript" in line.lower():
+                        continue
+                    kept.append(line)
+                low = text.lower()
+                if "lorem ipsum" in low:
+                    v = "drop_lorem_ipsum"
+                elif "{" in text:
+                    v = "drop_brace"
+                elif len(kept) < min_lines_:
+                    v = "drop_min_lines"
+                else:
+                    v = "keep"
+                out_text.append("\n".join(kept))
+                out_n.append(len(kept))
+                out_v.append(v)
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        "id": pd.array(out_id, dtype="string"),
+                        "clean_text": pd.array(out_text, dtype="string"),
+                        "n_kept": pd.array(out_n, dtype="Int64"),
+                        "verdict": pd.array(out_v, dtype="string"),
+                    }
+                )
+
+    return (
+        docs.select(F.col(id_col).cast("string").alias(id_col), text_col)
+        .mapInPandas(fn, _C4_SCHEMA)
+    )

@@ -990,3 +990,47 @@ def test_filter_repetition_dup_gram_rule(spark):
         for r in filter_repetition(docs, dup_thresholds={}).collect()
     }
     assert got_top_only[1] is None and got_top_only[2] == "top_2gram"
+
+
+def test_c4_line_filter_rules_and_plan(spark):
+    from fineweb_legal_spark.operators.boilerplate import c4_line_filter
+
+    docs = spark.createDataFrame(
+        [
+            # kept: terminal punct + >=3 words; dropped: no punct / short /
+            # javascript mention
+            (1, "This line stays here.\nno punct line\nShort stop.\n"
+                "Please enable javascript now.\nAnother good line stays!"),
+            (2, "Lorem Ipsum dolor sit amet.\nA fine line otherwise."),
+            (3, "A good line with words.\nif (x) { return; }"),
+            (4, None),
+            (5, "word\nword word\nword word word"),  # nothing survives
+            (6, '"A quoted line counts too."'),
+        ],
+        ["doc_id", "text"],
+    )
+    out = c4_line_filter(docs, min_words=3, min_lines=1)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert ") Exchange" not in plan, plan  # pure per-row: zero shuffle
+    got = {r["id"]: (r["clean_text"], r["n_kept"], r["verdict"])
+           for r in out.collect()}
+    assert got["1"] == (
+        "This line stays here.\nAnother good line stays!", 2, "keep"
+    )
+    # page rules outrank the kept-line count, lorem before brace
+    assert got["2"] == (
+        "Lorem Ipsum dolor sit amet.\nA fine line otherwise.", 2,
+        "drop_lorem_ipsum",
+    )
+    assert got["3"] == ("A good line with words.", 1, "drop_brace")
+    assert got["4"] == (None, None, "drop_null")
+    assert got["5"] == ("", 0, "drop_min_lines")
+    assert got["6"] == ('"A quoted line counts too."', 1, "keep")
+    # min_lines page gate
+    got5 = {r["id"]: r["verdict"]
+            for r in c4_line_filter(docs, min_lines=2).collect()}
+    assert got5["1"] == "keep" and got5["6"] == "drop_min_lines"

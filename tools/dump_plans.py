@@ -108,11 +108,14 @@ PICKS = {
         "Expand-based two-stage distinct aggregate — as good as a plan "
         "with an exact distinct gets."
     ),
-    "strip_boilerplate_t1": (
-        "Line doc-frequency aggregate -> runtime broadcast-vs-shuffle "
-        "decision for the strip join (one count on the tiny aggregated "
-        "common-line frame); the corpus-side strip pass is shuffle-free "
-        "except the per-doc reassembly group."
+    "line_hygiene_t1": (
+        "Tagged union. corpus_common branch: line doc-frequency aggregate "
+        "-> runtime broadcast-vs-shuffle decision for the strip join (one "
+        "count on the tiny aggregated common-line frame); the corpus-side "
+        "strip pass is shuffle-free except the per-doc reassembly group. "
+        "c4_local branch: stateless per-row Arrow pass (terminal-punct / "
+        "min-words / javascript line rules + page verdicts) - zero "
+        "Exchange."
     ),
     "scrub_repeated_spans_docs": (
         "Exact-substring dedup (round 4): gram doc-frequency over the "
