@@ -1282,6 +1282,7 @@ def q_text_analysis_docs(spark, sf_dir):
     # UDF passes the scalar columns through (keep_cols) — no join back on
     # doc_id, no second scan of the corpus
     from fineweb_legal_spark.operators.textql import (
+        doc_shape_signals,
         fingerprint,
         predict_language,
         quality_score,
@@ -1289,19 +1290,30 @@ def q_text_analysis_docs(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    wide = token_counts(quality_score(fingerprint(d))).select(
+    wide = doc_shape_signals(token_counts(quality_score(fingerprint(d)))).select(
         "doc_id",
         "text",
         "quality_score",
         "fingerprint",
         "ws_tokens",
         "bpe_ish_tokens",
+        "alpha_word_frac",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
     )
     return predict_language(
         spark,
         wide,
         "doc_id",
-        keep_cols=("quality_score", "fingerprint", "ws_tokens", "bpe_ish_tokens"),
+        keep_cols=(
+            "quality_score",
+            "fingerprint",
+            "ws_tokens",
+            "bpe_ish_tokens",
+            "alpha_word_frac",
+            "bullet_line_frac",
+            "ellipsis_line_frac",
+        ),
     )
 
 
@@ -2878,11 +2890,29 @@ def oracle_sql() -> dict[str, str]:
     )
     o["text_analysis_docs"] = f"""
         SELECT l.doc_id, l.pred_lang, q.quality_score, f.fingerprint,
-               t.ws_tokens, t.bpe_ish_tokens
+               t.ws_tokens, t.bpe_ish_tokens,
+               s.alpha_word_frac, s.bullet_line_frac, s.ellipsis_line_frac
         FROM ({b['langid_docs']}) l
         JOIN ({b['quality_score_docs']}) q USING (doc_id)
         JOIN ({b['fingerprint_docs']}) f ON f.doc_id = l.doc_id
         JOIN ({b['token_counts_docs']}) t ON t.doc_id = l.doc_id
+        JOIN (
+            SELECT doc_id,
+                   CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN
+                     round(CAST(len(regexp_extract_all(text,
+                               '\\S*[A-Za-z]\\S*')) AS DOUBLE)
+                           / len(regexp_extract_all(text, '\\S+')), 6)
+                   END AS alpha_word_frac,
+                   round(CAST(len(regexp_extract_all(text,
+                             '(?m)^[ \\t]*[-•*]')) AS DOUBLE)
+                         / len(string_split(text, chr(10))), 6)
+                       AS bullet_line_frac,
+                   round(CAST(len(regexp_extract_all(text,
+                             '(?m)(\\.\\.\\.|…)[ \\t]*$')) AS DOUBLE)
+                         / len(string_split(text, chr(10))), 6)
+                       AS ellipsis_line_frac
+            FROM documents
+        ) s ON s.doc_id = l.doc_id
     """
     o["json_softmax_events"] = f"""
         SELECT j.event_id, j.k, s.score, s.label, s.is_legal

@@ -464,3 +464,69 @@ def filter_repetition(
         .withColumn("rep_reject_reason", F.col("_v._reason"))
         .drop("_v")
     )
+
+
+# Gopher document-shape thresholds (Rae et al. 2021, Table A1)
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80   # >=80% of words contain a letter
+GOPHER_MAX_BULLET_LINE_FRAC = 0.90  # <=90% of lines start with a bullet
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30  # <=30% of lines end with an ellipsis
+
+
+def doc_shape_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher document-shape quality signals (Rae et al. 2021 §A1.1), the
+    rule family's remaining members next to the pipeline's stop-word /
+    dup-line / symbol rules and this module's repetition signals:
+
+    - ``alpha_word_frac`` — fraction of whitespace words containing at
+      least one ASCII letter (rule: >= 0.80; catches number/symbol soup);
+      null when the document has no words;
+    - ``bullet_line_frac`` — fraction of lines starting with a bullet
+      (``- • *`` after optional indent; rule: <= 0.90);
+    - ``ellipsis_line_frac`` — fraction of lines ending with ``...`` or
+      ``…`` (rule: <= 0.30; truncated-content listings).
+
+    All three are JVM-native regexp counts over the row — zero UDF, zero
+    shuffle, whole-stage-codegen'd; line fractions count split('\\n')
+    parts including blanks (blank lines match neither pattern), the
+    engine-neutral denominator.
+    """
+    t = F.col(text_col)
+    words = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+    alpha = F.size(F.regexp_extract_all(t, F.lit(r"\S*[A-Za-z]\S*"), 0))
+    lines = F.size(F.split(t, "\n"))
+    bullet = F.size(F.regexp_extract_all(t, F.lit(r"(?m)^[ \t]*[-•*]"), 0))
+    ellipsis = F.size(
+        F.regexp_extract_all(t, F.lit(r"(?m)(\.\.\.|…)[ \t]*$"), 0)
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / F.when(den > 0, den), 6
+    )
+    return (
+        df.withColumn("alpha_word_frac", frac(alpha, words))
+        .withColumn("bullet_line_frac", frac(bullet, lines))
+        .withColumn("ellipsis_line_frac", frac(ellipsis, lines))
+    )
+
+
+def filter_doc_shape(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """df + shape_reject_reason ('alpha_words' | 'bullet_lines' |
+    'ellipsis_lines', first violated in that order; null = keep) at the
+    published Gopher thresholds over :func:`doc_shape_signals`. Wordless
+    or null documents have no alpha signal and pass that rule (the
+    pipeline's length gates own empty-text rejection)."""
+    sig = doc_shape_signals(df, text_col=text_col)
+    return sig.withColumn(
+        "shape_reject_reason",
+        F.when(
+            F.col("alpha_word_frac") < GOPHER_MIN_ALPHA_WORD_FRAC,
+            F.lit("alpha_words"),
+        )
+        .when(
+            F.col("bullet_line_frac") > GOPHER_MAX_BULLET_LINE_FRAC,
+            F.lit("bullet_lines"),
+        )
+        .when(
+            F.col("ellipsis_line_frac") > GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+            F.lit("ellipsis_lines"),
+        ),
+    ).drop("alpha_word_frac", "bullet_line_frac", "ellipsis_line_frac")

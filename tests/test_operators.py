@@ -1034,3 +1034,47 @@ def test_c4_line_filter_rules_and_plan(spark):
     got5 = {r["id"]: r["verdict"]
             for r in c4_line_filter(docs, min_lines=2).collect()}
     assert got5["1"] == "keep" and got5["6"] == "drop_min_lines"
+
+
+def test_doc_shape_signals_and_filter(spark):
+    from fineweb_legal_spark.operators.textql import (
+        doc_shape_signals,
+        filter_doc_shape,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "normal words here\nand more words"),       # clean
+            (2, "12 34 56 78 x9"),                           # 1/5 alpha
+            (3, "- one thing\n- another\n  * indented\nplain"),  # 3/4 bullet
+            (4, "to be continued...\nmore…  \nfinal line"),  # 2/3 ellipsis
+            (5, None),
+            (6, ""),                                          # no words
+            (7, "... …"),  # ellipsis line AND only-symbol words
+        ],
+        ["doc_id", "text"],
+    )
+    sig = {
+        r["doc_id"]: (
+            r["alpha_word_frac"], r["bullet_line_frac"],
+            r["ellipsis_line_frac"],
+        )
+        for r in doc_shape_signals(docs).collect()
+    }
+    assert sig[1] == (1.0, 0.0, 0.0)
+    assert sig[2] == (0.2, 0.0, 0.0)
+    assert sig[3] == (0.625, 0.75, 0.0)  # bullets are non-alpha words
+    assert sig[4] == (1.0, 0.0, round(2 / 3, 6))
+    assert sig[5] == (None, None, None)       # null text propagates
+    assert sig[6] == (None, 0.0, 0.0)         # no words -> alpha undefined
+    assert sig[7] == (0.0, 0.0, 1.0)
+    got = {r["doc_id"]: r["shape_reject_reason"]
+           for r in filter_doc_shape(docs).collect()}
+    assert got[1] is None
+    assert got[2] == "alpha_words"
+    assert got[4] == "ellipsis_lines"
+    assert got[5] is None and got[6] is None  # no signal -> pass
+    assert got[7] == "alpha_words"            # first violated rule wins
+    # doc 3 trips alpha (0.625 < 0.80) before its bullet fraction (0.75,
+    # under the 0.90 bar) is even consulted
+    assert got[3] == "alpha_words"
