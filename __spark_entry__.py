@@ -833,8 +833,12 @@ def q_repetition_signals_docs(spark, sf_dir):
     # lexicographically greatest gram; zero lambda HOFs, zero word-level
     # shuffle); signal='dup_gram' — per doc and n in (5..10), the
     # interval-unioned word-char fraction covered by ALL duplicated
-    # n-grams (pure per-row Arrow pass, zero Exchange).
+    # n-grams (pure per-row Arrow pass, zero Exchange); signal='dup_line'
+    # — the FineWeb/Gopher duplicated-LINE character fraction (exact
+    # split('\n') line match, newlines excluded from the char weights;
+    # another zero-Exchange per-row Arrow pass, textql.dup_line_chars).
     from fineweb_legal_spark.operators.textql import (
+        dup_line_chars,
         dup_ngram_signals,
         repetition_signals,
     )
@@ -856,7 +860,17 @@ def q_repetition_signals_docs(spark, sf_dir):
         F.lit(None).cast("long").alias("cnt"),
         F.col("dup_char_frac").alias("char_frac"),
     )
-    return top.unionByName(dup)
+    dline = dup_line_chars(
+        docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    ).select(
+        "doc_id",
+        F.lit("dup_line").alias("signal"),
+        F.lit(1).cast("int").alias("n"),
+        F.lit(None).cast("string").alias("gram"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.col("dup_line_char_frac").alias("char_frac"),
+    )
+    return top.unionByName(dup).unionByName(dline)
 
 
 def q_validate_structure_t2(spark, sf_dir):
@@ -1283,6 +1297,7 @@ def q_text_analysis_docs(spark, sf_dir):
     # doc_id, no second scan of the corpus
     from fineweb_legal_spark.operators.textql import (
         doc_shape_signals,
+        fineweb_quality_signals,
         fingerprint,
         predict_language,
         quality_score,
@@ -1290,7 +1305,9 @@ def q_text_analysis_docs(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    wide = doc_shape_signals(token_counts(quality_score(fingerprint(d)))).select(
+    wide = fineweb_quality_signals(
+        doc_shape_signals(token_counts(quality_score(fingerprint(d))))
+    ).select(
         "doc_id",
         "text",
         "quality_score",
@@ -1300,6 +1317,9 @@ def q_text_analysis_docs(spark, sf_dir):
         "alpha_word_frac",
         "bullet_line_frac",
         "ellipsis_line_frac",
+        "punct_line_frac",
+        "short_line_frac",
+        "newline_word_frac",
     )
     return predict_language(
         spark,
@@ -1313,6 +1333,9 @@ def q_text_analysis_docs(spark, sf_dir):
             "alpha_word_frac",
             "bullet_line_frac",
             "ellipsis_line_frac",
+            "punct_line_frac",
+            "short_line_frac",
+            "newline_word_frac",
         ),
     )
 
@@ -2340,6 +2363,21 @@ def _oracle_base() -> dict[str, str]:
               FROM dcov c JOIN ddocs d
                 ON d.doc_id = c.doc_id AND d.n = c.n
               GROUP BY c.doc_id, c.n
+            ),
+            lcnt AS (
+              SELECT doc_id, length(line) AS len, count(*) AS cnt
+              FROM (
+                SELECT doc_id,
+                       unnest(string_split(text, chr(10))) AS line
+                FROM documents WHERE text IS NOT NULL)
+              GROUP BY doc_id, line
+            ),
+            lagg AS (
+              SELECT doc_id,
+                     CAST(sum(len * cnt) AS DOUBLE) AS ltot,
+                     CAST(sum(CASE WHEN cnt > 1 THEN len * cnt
+                              ELSE 0 END) AS DOUBLE) AS ldup
+              FROM lcnt GROUP BY doc_id
             )
             SELECT doc_id, 'top_gram' AS signal, n, gram, cnt,
                    round(CAST(covered AS DOUBLE) / chars, 6) AS char_frac
@@ -2352,6 +2390,12 @@ def _oracle_base() -> dict[str, str]:
                        AS char_frac
             FROM ddocs d LEFT JOIN dcch cc
               ON cc.doc_id = d.doc_id AND cc.n = d.n
+            UNION ALL
+            SELECT doc_id, 'dup_line' AS signal, 1 AS n,
+                   CAST(NULL AS VARCHAR) AS gram,
+                   CAST(NULL AS BIGINT) AS cnt,
+                   round(ldup / NULLIF(ltot, 0), 6) AS char_frac
+            FROM lagg
         """,
         "tfidf_top_terms_docs": """
             WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),
@@ -2891,7 +2935,8 @@ def oracle_sql() -> dict[str, str]:
     o["text_analysis_docs"] = f"""
         SELECT l.doc_id, l.pred_lang, q.quality_score, f.fingerprint,
                t.ws_tokens, t.bpe_ish_tokens,
-               s.alpha_word_frac, s.bullet_line_frac, s.ellipsis_line_frac
+               s.alpha_word_frac, s.bullet_line_frac, s.ellipsis_line_frac,
+               s.punct_line_frac, s.short_line_frac, s.newline_word_frac
         FROM ({b['langid_docs']}) l
         JOIN ({b['quality_score_docs']}) q USING (doc_id)
         JOIN ({b['fingerprint_docs']}) f ON f.doc_id = l.doc_id
@@ -2910,7 +2955,21 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(len(regexp_extract_all(text,
                              '(?m)(\\.\\.\\.|…)[ \\t]*$')) AS DOUBLE)
                          / len(string_split(text, chr(10))), 6)
-                       AS ellipsis_line_frac
+                       AS ellipsis_line_frac,
+                   round(CAST(len(regexp_extract_all(text,
+                             '(?m)[.!?"''][ \\t]*$')) AS DOUBLE)
+                         / len(string_split(text, chr(10))), 6)
+                       AS punct_line_frac,
+                   round(CAST(len(string_split(text, chr(10)))
+                          - len(regexp_extract_all(text,
+                                '(?m)^.{{30,}}')) AS DOUBLE)
+                         / len(string_split(text, chr(10))), 6)
+                       AS short_line_frac,
+                   CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0 THEN
+                     round(CAST(len(string_split(text, chr(10))) - 1
+                                AS DOUBLE)
+                           / len(regexp_extract_all(text, '\\S+')), 6)
+                   END AS newline_word_frac
             FROM documents
         ) s ON s.doc_id = l.doc_id
     """

@@ -530,3 +530,160 @@ def filter_doc_shape(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit("ellipsis_lines"),
         ),
     ).drop("alpha_word_frac", "bullet_line_frac", "ellipsis_line_frac")
+
+
+# FineWeb custom quality-rule thresholds (Penedo et al. 2024 §3.6 — the
+# three filters their ablations added on top of the C4/Gopher sets, plus
+# the companion newline-density rule; exact cut points vary slightly
+# between published configs, so they're parameters with these defaults)
+FINEWEB_MIN_PUNCT_LINE_FRAC = 0.12    # drop if < 12% of lines end in punct
+FINEWEB_SHORT_LINE_CHARS = 30
+FINEWEB_MAX_SHORT_LINE_FRAC = 0.67    # drop if > 67% of lines are short
+FINEWEB_MAX_DUP_LINE_CHAR_FRAC = 0.10  # drop if > 10% of chars in dup lines
+FINEWEB_MAX_NEWLINE_WORD_FRAC = 0.30  # drop if newlines/words > 0.30
+_FW_PUNCT_RX = r"(?m)[.!?\"'][ \t]*$"  # line's last non-blank char
+
+
+def fineweb_quality_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """FineWeb custom quality signals (Penedo et al. 2024 §3.6), the
+    line-shape half of the rule family (the duplicated-line-character
+    signal needs per-document line grouping and lives in
+    :func:`dup_line_chars`):
+
+    - ``punct_line_frac`` — fraction of lines whose last non-blank char is
+      terminal punctuation (``. ! ? " '``; rule: >= 0.12, low values are
+      menus/listings);
+    - ``short_line_frac`` — fraction of lines shorter than 30 characters
+      (rule: <= 0.67; raw line length, blanks count as short);
+    - ``newline_word_frac`` — newline count / whitespace-word count
+      (rule: <= 0.30; catches list-like pages); null when wordless.
+
+    All JVM-native regexp/length arithmetic — zero UDF, zero shuffle,
+    whole-stage-codegen'd; line fractions share doc_shape_signals'
+    split('\\n')-including-blanks denominator.
+    """
+    t = F.col(text_col)
+    lines = F.size(F.split(t, "\n"))
+    punct = F.size(F.regexp_extract_all(t, F.lit(_FW_PUNCT_RX), 0))
+    long_lines = F.size(
+        F.regexp_extract_all(
+            t, F.lit(r"(?m)^.{%d,}" % FINEWEB_SHORT_LINE_CHARS), 0
+        )
+    )
+    words = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+    frac = lambda num, den: F.round(  # noqa: E731
+        num.cast("double") / F.when(den > 0, den), 6
+    )
+    return (
+        df.withColumn("punct_line_frac", frac(punct, lines))
+        .withColumn("short_line_frac", frac(lines - long_lines, lines))
+        .withColumn("newline_word_frac", frac(lines - 1, words))
+    )
+
+
+def dup_line_chars(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """df + ``dup_line_char_frac`` — fraction of the document's line
+    characters (newlines excluded) inside lines that occur MORE THAN ONCE
+    within the document, exact match on the raw split('\\n') line. The
+    FineWeb/Gopher duplicated-line signal at character granularity
+    (Penedo et al. 2024 §3.6; Rae et al. 2021 §A1.1): boilerplate
+    navigation repeated down a page survives word-gram rules when lines
+    are short, and this catches it. Blank duplicate lines weigh zero
+    chars, so the signal is blank-robust with no special-casing. Null
+    when the text is null or has zero line characters.
+
+    Scale shape: a pure per-row signal, so the plan is ONE pass-through
+    mapInPandas — zero Exchange, embarrassingly parallel, same contract
+    as dup_ngram_signals (pytest-pinned). The kernel is vectorized
+    pandas: one explode + one (row, line) groupby per Arrow batch, no
+    Python-level per-line loop. Pass-through means every input column
+    rides the Arrow round-trip; call on a slim projection when only the
+    signal is needed.
+    """
+    import numpy as np
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("_dlcf", T.DoubleType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ex = pdf[text_col].str.split("\n").explode()
+            ex = ex[ex.notna()]
+            if len(ex):
+                g = (
+                    pd.DataFrame(
+                        {
+                            "_i": ex.index,
+                            "_line": ex.to_numpy(),
+                            "_len": ex.str.len().to_numpy(),
+                        }
+                    )
+                    .groupby(["_i", "_line"], sort=False)
+                    .agg(_cnt=("_len", "size"), _len=("_len", "first"))
+                    .reset_index()
+                )
+                tot = (g["_len"] * g["_cnt"]).to_numpy()
+                per = pd.DataFrame(
+                    {
+                        "_tot": tot,
+                        "_dup": np.where(g["_cnt"].to_numpy() > 1, tot, 0),
+                    },
+                    index=g["_i"].to_numpy(),
+                ).groupby(level=0).sum()
+                frac = per["_dup"] / per["_tot"].where(per["_tot"] > 0)
+                pdf = pdf.assign(_dlcf=frac.reindex(pdf.index))
+            else:
+                pdf = pdf.assign(_dlcf=float("nan"))
+            yield pdf
+
+    return (
+        df.mapInPandas(fn, out_schema)
+        # round JVM-side (HALF_UP, matching the oracle's round())
+        .withColumn("dup_line_char_frac", F.round("_dlcf", 6))
+        .drop("_dlcf")
+    )
+
+
+def filter_fineweb_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """df + ``fw_reject_reason`` ('line_punct' | 'short_lines' |
+    'dup_line_chars' | 'newline_words', first violated in that order;
+    null = keep) at the module-default FineWeb thresholds over
+    :func:`fineweb_quality_signals` + :func:`dup_line_chars`. Wordless
+    documents (null/empty/whitespace text) skip every rule and pass — the
+    pipeline's length gates own empty-text rejection, same contract as
+    filter_doc_shape. Plan: native signal columns feed one pass-through
+    Arrow stage — zero Exchange end to end.
+    """
+    sig = dup_line_chars(
+        fineweb_quality_signals(df, text_col=text_col), text_col=text_col
+    )
+    has_words = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)) > 0
+    )
+    verdict = (
+        F.when(
+            F.col("punct_line_frac") < FINEWEB_MIN_PUNCT_LINE_FRAC,
+            F.lit("line_punct"),
+        )
+        .when(
+            F.col("short_line_frac") > FINEWEB_MAX_SHORT_LINE_FRAC,
+            F.lit("short_lines"),
+        )
+        .when(
+            F.col("dup_line_char_frac") > FINEWEB_MAX_DUP_LINE_CHAR_FRAC,
+            F.lit("dup_line_chars"),
+        )
+        .when(
+            F.col("newline_word_frac") > FINEWEB_MAX_NEWLINE_WORD_FRAC,
+            F.lit("newline_words"),
+        )
+    )
+    return sig.withColumn(
+        "fw_reject_reason", F.when(has_words, verdict)
+    ).drop(
+        "punct_line_frac",
+        "short_line_frac",
+        "newline_word_frac",
+        "dup_line_char_frac",
+    )

@@ -1078,3 +1078,82 @@ def test_doc_shape_signals_and_filter(spark):
     # doc 3 trips alpha (0.625 < 0.80) before its bullet fraction (0.75,
     # under the 0.90 bar) is even consulted
     assert got[3] == "alpha_words"
+
+
+def test_fineweb_quality_signals_and_dup_line(spark):
+    from fineweb_legal_spark.operators.textql import (
+        dup_line_chars,
+        fineweb_quality_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Good sentence one.\nAnother good sentence that is long!"),
+            (2, "nav menu\ncontent here\nnav menu"),  # dup 16/28 chars
+            (3, None),
+            (4, ""),            # one empty line, zero line chars
+            (5, "a.\n\n\nb."),  # duplicate BLANK lines weigh zero chars
+        ],
+        ["doc_id", "text"],
+    )
+    out = dup_line_chars(fineweb_quality_signals(docs))
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert ") Exchange" not in plan, plan  # pure per-row: zero shuffle
+    got = {
+        r["doc_id"]: (
+            r["punct_line_frac"],
+            r["short_line_frac"],
+            r["newline_word_frac"],
+            r["dup_line_char_frac"],
+        )
+        for r in out.collect()
+    }
+    # doc 1: both lines end in punct; line 1 (18 chars) is short, line 2
+    # (36 chars) is not; 1 newline / 9 words; no duplicate lines
+    assert got[1] == (1.0, 0.5, round(1 / 9, 6), 0.0)
+    assert got[2] == (0.0, 1.0, round(2 / 6, 6), round(16 / 28, 6))
+    assert got[3] == (None, None, None, None)
+    assert got[4] == (0.0, 1.0, None, None)  # wordless / zero line chars
+    assert got[5] == (0.5, 1.0, round(3 / 2, 6), 0.0)
+
+
+def test_filter_fineweb_quality_reasons(spark):
+    from fineweb_legal_spark.operators.textql import filter_fineweb_quality
+
+    long_punct = "This line is comfortably longer than thirty characters."
+    lp2 = "Another comfortably long line with plenty of words inside it."
+    lp3 = "Third line that is also long enough and ends with a period."
+    # 9 distinct long unpunctuated lines + 1 punct line -> punct frac 0.1
+    no_punct = "\n".join(
+        [
+            f"unpunctuated filler line number {i} padded long enough"
+            for i in range(9)
+        ]
+        + [long_punct]
+    )
+    # 4 distinct 31-char single-word punct lines -> 3 newlines / 4 words
+    list_like = "\n".join(c * 30 + "." for c in "abcd")
+    docs = spark.createDataFrame(
+        [
+            (1, f"{long_punct}\n{lp2}\n{lp3}"),          # keeps everything
+            (2, no_punct),
+            (3, "Hi.\nYo.\nOk."),                         # all short
+            (4, f"{long_punct}\n{long_punct}\n{long_punct}\n{lp2}"),
+            (5, list_like),
+            (6, None),
+            (7, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["fw_reject_reason"]
+           for r in filter_fineweb_quality(docs).collect()}
+    assert got[1] is None
+    assert got[2] == "line_punct"      # 1/10 lines end in punct < 0.12
+    assert got[3] == "short_lines"     # punct 1.0 passes, all lines short
+    assert got[4] == "dup_line_chars"  # 3x duplicated long line
+    assert got[5] == "newline_words"   # 3 newlines / 4 words = 0.75
+    assert got[6] is None and got[7] is None  # signal-less docs pass
