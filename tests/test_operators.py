@@ -1157,3 +1157,80 @@ def test_filter_fineweb_quality_reasons(spark):
     assert got[4] == "dup_line_chars"  # 3x duplicated long line
     assert got[5] == "newline_words"   # 3 newlines / 4 words = 0.75
     assert got[6] is None and got[7] is None  # signal-less docs pass
+
+
+def test_quality_classifier_train_and_score(spark):
+    """Distributed hashed-BoW logistic regression == a pure-numpy twin
+    replaying the identical feature matrix (zlib.crc32 reproduces the
+    JVM's crc32 hashing exactly) and identical full-batch GD steps."""
+    import re
+    import zlib
+
+    import numpy as np
+
+    from fineweb_legal_spark.operators.classifier import (
+        featurize,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    spammy = [
+        "buy cheap pills now click here free offer " * 3,
+        "click click free free winner prize claim now",
+        "cheap offer free pills winner click claim prize now here",
+        "free free free click now buy buy cheap prize",
+    ]
+    clean = [
+        "The court considered the statute and its legislative history.",
+        "This agreement is governed by the laws of the state concerned.",
+        "A contract requires offer, acceptance, and valid consideration.",
+        "The appellate court reviewed the finding for clear error.",
+    ]
+    rows = [(i, t, 0) for i, t in enumerate(spammy)] + [
+        (100 + i, t, 1) for i, t in enumerate(clean)
+    ]
+    rows.append((200, None, 1))  # null text trains as all-zero features
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+
+    DIM, ITERS, LR, L2 = 1 << 12, 25, 0.5, 1e-4
+    feats = featurize(docs, label_col="label", dim=DIM).persist()
+    model = train_quality_classifier(
+        spark, feats, dim=DIM, iters=ITERS, lr=LR, l2=L2
+    )
+
+    # numpy twin on the identical feature matrix
+    X = np.zeros((len(rows), DIM))
+    y = np.array([r[2] for r in rows], dtype=float)
+    for r_i, (_, text, _) in enumerate(rows):
+        for w_ in re.split("[ \t\n\r\f\x0b]+", (text or "").lower()):
+            if w_:
+                X[r_i, zlib.crc32(w_.encode()) % DIM] += 1
+    w = np.zeros(DIM)
+    b = 0.0
+    for _ in range(ITERS):
+        p = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+        w -= LR * (X.T @ (p - y) / len(y) + L2 * w)
+        b -= LR * float(np.sum(p - y)) / len(y)
+    assert np.allclose(model.weights, w, atol=1e-8)
+    assert abs(model.bias - b) < 1e-8
+    assert model.losses[-1] < model.losses[0] / 3  # actually learned
+
+    # native scoring path separates the classes and matches the twin
+    scored = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_quality(spark, docs, model).collect()
+    }
+    twin = 1.0 / (1.0 + np.exp(-(X @ w + b)))
+    for r_i, (did, _, lbl) in enumerate(rows):
+        assert abs(scored[did] - round(float(twin[r_i]), 6)) <= 1e-6
+        if did != 200:
+            assert (scored[did] > 0.5) == bool(lbl)
+
+    # scoring plan is JVM-only: no Python/Arrow eval nodes
+    plan = score_quality(spark, docs, model)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "InPandas" not in plan and "PythonUDF" not in plan, plan
+    feats.unpersist()
