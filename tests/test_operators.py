@@ -1234,3 +1234,62 @@ def test_quality_classifier_train_and_score(spark):
     )
     assert "InPandas" not in plan and "PythonUDF" not in plan, plan
     feats.unpersist()
+
+
+def test_document_quality_cascade(spark):
+    from fineweb_legal_spark.operators.quality import (
+        document_quality_verdicts,
+        quality_stage_counts,
+    )
+
+    clean = (
+        "The court considered the statute and its legislative history. "
+        "A contract requires offer and acceptance with consideration."
+    )
+    numbers = "12 34 56 78 x9."                      # shape: alpha_words
+    no_punct = "\n".join(                            # fineweb: line_punct
+        f"unpunctuated filler line number {i} padded long enough"
+        for i in range(10)
+    )
+    # passes shape+fineweb (one long punct-terminated line, alpha words)
+    # but the top bigram covers most characters -> repetition: top_2gram
+    repeaty = "spam ham spam ham spam ham spam ham spam ham."
+    # violates BOTH shape (alpha 0.2) and repetition -> cheapest stage wins
+    both = "11 22 11 22 11 22 11 22 11 22 11 22 11 z9."
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, numbers),
+            (3, no_punct),
+            (4, repeaty),
+            (5, both),
+            (6, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = document_quality_verdicts(docs)
+    got = {
+        r["doc_id"]: (
+            r["quality_keep"],
+            r["quality_reject_stage"],
+            r["quality_reject_reason"],
+        )
+        for r in out.collect()
+    }
+    assert got[1] == (True, None, None)
+    assert got[2] == (False, "shape", "alpha_words")
+    assert got[3] == (False, "fineweb", "line_punct")
+    assert got[4] == (False, "repetition", "top_2gram")
+    assert got[5] == (False, "shape", "alpha_words")  # cheapest stage wins
+    assert got[6] == (True, None, None)
+
+    counts = {
+        (r["stage"], r["reason"]): r["n"]
+        for r in quality_stage_counts(out).collect()
+    }
+    assert counts == {
+        (None, None): 2,
+        ("shape", "alpha_words"): 2,
+        ("fineweb", "line_punct"): 1,
+        ("repetition", "top_2gram"): 1,
+    }
