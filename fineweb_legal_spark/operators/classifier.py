@@ -223,3 +223,36 @@ def score_quality(
     return df.join(sums, id_col, "left").withColumn(
         "quality_prob", prob
     ).drop("_z")
+
+
+def keep_top_fraction(
+    df: DataFrame,
+    score_col: str = "quality_prob",
+    fraction: float = 0.1,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Corpus curation by score: keep rows whose ``score_col`` is at or
+    above the (1 - fraction) quantile — the FineWeb-Edu / DCLM "keep the
+    top p% by classifier score" selection step.
+
+    The threshold is a single approx_percentile aggregate (one map-side-
+    combinable pass, driver receives one double) broadcast-cross-joined
+    back — fully lazy, no eager action at plan build, no full sort. The
+    sketch error (~1/accuracy quantile mass) moves the CUT POINT slightly,
+    it never reorders rows — the documented trade vs an exact full-sort
+    percentile at 10^12 rows. Ties at the threshold all
+    keep (>=), so the kept fraction can exceed ``fraction`` on heavily
+    tied scores.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError("fraction must be in (0, 1]")
+    thr = df.agg(
+        F.percentile_approx(
+            score_col, F.lit(1.0 - fraction), F.lit(accuracy)
+        ).alias("_thr")
+    )
+    return (
+        df.crossJoin(F.broadcast(thr))
+        .filter(F.col(score_col) >= F.col("_thr"))
+        .drop("_thr")
+    )

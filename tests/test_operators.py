@@ -1293,3 +1293,26 @@ def test_document_quality_cascade(spark):
         ("fineweb", "line_punct"): 1,
         ("repetition", "top_2gram"): 1,
     }
+
+
+def test_keep_top_fraction(spark):
+    import pytest as _pytest
+
+    from fineweb_legal_spark.operators.classifier import keep_top_fraction
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id").cast("double") / 1000).alias("score")
+    )
+    kept = keep_top_fraction(df, "score", fraction=0.1)
+    ids = sorted(r["id"] for r in kept.collect())
+    # approx_percentile at accuracy 10000 over 1000 distinct values is
+    # exact: threshold = the 0.9-quantile value, >= keeps the top decile
+    assert len(ids) in (100, 101) and min(ids) >= 899
+    # lazy: constructing the frame launches no jobs
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    _ = keep_top_fraction(df, "score", fraction=0.25)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    with _pytest.raises(ValueError):
+        keep_top_fraction(df, "score", fraction=0.0)
