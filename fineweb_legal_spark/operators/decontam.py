@@ -63,12 +63,16 @@ _ASCII_WS = re.compile(r"[ \t\n\r\f\x0b]+")
 # multiplication mod 2^64 is a bijection and prefix hashes don't alias)
 _BASE = np.uint64(1099511628211)
 
-_GRAM_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType()),
-        T.StructField("gram", T.LongType()),
-    ]
-)
+# gram is always a 64-bit hash; the id field inherits the INPUT id type
+# at ngram_hashes build time (a hardcoded LongType would silently coerce
+# string ids in downstream joins)
+def _gram_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("gram", T.LongType()),
+        ]
+    )
 
 
 def ascii_words(text: str) -> list[str]:
@@ -114,7 +118,7 @@ def _gram_fn(n: int, id_col: str, text_col: str):
                 if len(w) < n:
                     continue
                 h = _rolling_gram_hashes(w, n)
-                ids.append(np.full(len(h), int(rid), dtype=np.int64))
+                ids.append(np.full(len(h), rid, dtype=object))
                 grams.append(h.view(np.int64))
             if ids:
                 yield pd.DataFrame(
@@ -123,7 +127,7 @@ def _gram_fn(n: int, id_col: str, text_col: str):
             else:
                 yield pd.DataFrame(
                     {
-                        "id": np.array([], dtype=np.int64),
+                        "id": np.array([], dtype=object),
                         "gram": np.array([], dtype=np.int64),
                     }
                 )
@@ -137,7 +141,8 @@ def ngram_hashes(
     """(id, gram): 64-bit rolling hash of each distinct n-word gram per
     document (vectorized; see module docstring for the collision bound)."""
     return df.select(id_col, text_col).mapInPandas(
-        _gram_fn(n, id_col, text_col), schema=_GRAM_SCHEMA
+        _gram_fn(n, id_col, text_col),
+        schema=_gram_schema(df.schema[id_col].dataType),
     )
 
 

@@ -49,21 +49,26 @@ from pyspark.sql import types as T
 
 from .decontam import ascii_words, ngram_hashes, rolling_gram_hash_stream
 
-_GRAM_POS_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType()),
-        T.StructField("pos", T.IntegerType()),
-        T.StructField("gram", T.LongType()),
-    ]
-)
+# id fields inherit the INPUT id type (a hardcoded LongType would coerce
+# string ids in downstream joins — same fix as decontam._gram_schema)
+def _gram_pos_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("pos", T.IntegerType()),
+            T.StructField("gram", T.LongType()),
+        ]
+    )
 
-_SCRUB_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType()),
-        T.StructField("clean_text", T.StringType()),
-        T.StructField("n_masked", T.IntegerType()),
-    ]
-)
+
+def _scrub_schema(id_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("clean_text", T.StringType()),
+            T.StructField("n_masked", T.IntegerType()),
+        ]
+    )
 
 
 def _gram_pos_fn(n: int, id_col: str, text_col: str):
@@ -79,7 +84,7 @@ def _gram_pos_fn(n: int, id_col: str, text_col: str):
                 if len(w) < n:
                     continue
                 g = rolling_gram_hash_stream(w, n)
-                ids.append(np.full(len(g), int(rid), dtype=np.int64))
+                ids.append(np.full(len(g), rid, dtype=object))
                 poss.append(np.arange(len(g), dtype=np.int32))
                 grams.append(g.view(np.int64))
             if ids:
@@ -97,13 +102,13 @@ def _gram_pos_fn(n: int, id_col: str, text_col: str):
 def _mask_fn(n: int, id_col: str, text_col: str):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id: list[int] = []
+            out_id: list = []
             out_text: list[str | None] = []
             out_n: list[int] = []
             for rid, text, hits in zip(
                 pdf[id_col], pdf[text_col], pdf["hit_positions"]
             ):
-                out_id.append(int(rid))
+                out_id.append(rid)
                 if text is None:
                     out_text.append(None)
                     out_n.append(0)
@@ -163,8 +168,9 @@ def scrub_repeated_spans(
             else common.hint("shuffle_hash")
         )
 
+    id_type = docs.schema[id_col].dataType
     gram_pos = docs.select(id_col, text_col).mapInPandas(
-        _gram_pos_fn(n, id_col, text_col), schema=_GRAM_POS_SCHEMA
+        _gram_pos_fn(n, id_col, text_col), schema=_gram_pos_schema(id_type)
     )
     hitlists = (
         gram_pos.join(join_side, "gram")
@@ -175,5 +181,5 @@ def scrub_repeated_spans(
         F.col(id_col).alias("id"), F.col(text_col).alias(text_col)
     ).join(hitlists, "id", "left")
     return joined.mapInPandas(
-        _mask_fn(n, "id", text_col), schema=_SCRUB_SCHEMA
+        _mask_fn(n, "id", text_col), schema=_scrub_schema(id_type)
     ).withColumnRenamed("id", id_col)

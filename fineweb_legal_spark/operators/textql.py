@@ -320,9 +320,12 @@ def dup_ngram_signals(
     from .decontam import ascii_words, rolling_gram_hash_stream
 
     ns_sorted = tuple(sorted(ns))
+    # the id rides through with its INPUT type — a hardcoded LongType here
+    # once made string conv ids coerce the verdict join to bigint
+    # (LongHashedRelation cast crash at 2M turns)
     schema = T.StructType(
         [
-            T.StructField(id_col, T.LongType()),
+            df.schema[id_col],
             T.StructField("n", T.IntegerType()),
             T.StructField("_frac", T.DoubleType()),
         ]
@@ -330,7 +333,7 @@ def dup_ngram_signals(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_id: list[int] = []
+            out_id: list = []
             out_n: list[int] = []
             out_f: list[float] = []
             for rid, text in zip(pdf[id_col], pdf[text_col]):
@@ -359,13 +362,13 @@ def dup_ngram_signals(
                         frac = float(wl[covered].sum()) / total
                     else:
                         frac = 0.0
-                    out_id.append(int(rid))
+                    out_id.append(rid)
                     out_n.append(n)
                     out_f.append(frac)
             if out_id:
                 yield pd.DataFrame(
                     {
-                        id_col: pd.array(out_id, dtype="int64"),
+                        id_col: pd.Series(out_id),
                         "n": pd.array(out_n, dtype="int32"),
                         "_frac": pd.array(out_f, dtype="float64"),
                     }

@@ -1316,3 +1316,53 @@ def test_keep_top_fraction(spark):
     assert after == before
     with _pytest.raises(ValueError):
         keep_top_fraction(df, "score", fraction=0.0)
+
+
+def test_string_id_generality_repetition_and_decontam(spark):
+    """Kernels that declare an output id schema must inherit the INPUT id
+    type: a hardcoded LongType once made string conv ids coerce the
+    verdict join key to bigint (runtime cast crash at 2M turns)."""
+    from fineweb_legal_spark.operators.decontam import decontaminate
+    from fineweb_legal_spark.operators.quality import (
+        document_quality_verdicts,
+    )
+    from fineweb_legal_spark.operators.spandedup import scrub_repeated_spans
+
+    docs = spark.createDataFrame(
+        [
+            ("conv_0#000001", "spam ham spam ham spam ham spam ham spam."),
+            ("conv_0#000002",
+             "The court considered the statute and its legislative history "
+             "before reaching a decision on the merits of the appeal."),
+            ("conv_1#000001", None),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["quality_reject_reason"]
+        for r in document_quality_verdicts(docs).collect()
+    }
+    assert got["conv_0#000001"] == "top_2gram"
+    assert got["conv_0#000002"] is None and got["conv_1#000001"] is None
+
+    bench = spark.createDataFrame(
+        [("b1", "the statute and its legislative history before reaching")],
+        ["doc_id", "text"],
+    )
+    dec = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(docs, bench, n=5).collect()
+    }
+    assert dec["conv_0#000002"] and not dec["conv_0#000001"]
+
+    scrubbed = scrub_repeated_spans(
+        spark.createDataFrame(
+            [("a#1", "one two three four five six"),
+             ("b#2", "one two three four five seven")],
+            ["doc_id", "text"],
+        ),
+        n=5,
+        min_docs=2,
+    )
+    out = {r["doc_id"]: r["clean_text"] for r in scrubbed.collect()}
+    assert "one two three four five" not in out["a#1"]
