@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from .textql import (
     filter_doc_shape,
     filter_fineweb_quality,
-    filter_repetition,
+    filter_repetition_fused,
 )
 
 
@@ -41,7 +41,16 @@ def document_quality_verdicts(
     """df + ``quality_keep`` (boolean), ``quality_reject_stage`` ('shape' |
     'fineweb' | 'repetition' | null) and ``quality_reject_reason`` (the
     firing rule's name, null for keeps). Null/wordless documents pass
-    every family — length gates own empty-text rejection."""
+    every family — length gates own empty-text rejection.
+
+    The repetition stage uses the fused zero-Exchange verdict kernel
+    (filter_repetition_fused) gated by the pipeline's nulled-payload
+    trick: cheap-rejected rows carry a null ``_rep_text``, so the kernel
+    skips them at the cost of one None check — survivors-only evaluation
+    with NO verdict join back and NO Exchange anywhere in the cascade
+    (pytest-pinned). Survivor rows ship their text through Arrow twice
+    (original + gate copy) — the documented price of the join-free plan.
+    """
     cheap = filter_fineweb_quality(
         filter_doc_shape(df, text_col=text_col), text_col=text_col
     )
@@ -50,21 +59,19 @@ def document_quality_verdicts(
         F.col("shape_reject_reason").isNotNull(), F.lit("shape")
     ).when(F.col("fw_reject_reason").isNotNull(), F.lit("fineweb"))
 
-    survivors = cheap.filter(cheap_reason.isNull()).select(id_col, text_col)
-    rep = (
-        filter_repetition(survivors, id_col=id_col, text_col=text_col)
-        .filter(F.col("rep_reject_reason").isNotNull())
-        .select(id_col, "rep_reject_reason")
+    gated = cheap.withColumn(
+        "_rep_text", F.when(cheap_reason.isNull(), F.col(text_col))
     )
-
-    out = cheap.join(rep, id_col, "left")
+    rep = filter_repetition_fused(gated, text_col="_rep_text").drop(
+        "_rep_text"
+    )
     reason = F.coalesce(cheap_reason, F.col("rep_reject_reason"))
     stage = F.coalesce(
         cheap_stage,
         F.when(F.col("rep_reject_reason").isNotNull(), F.lit("repetition")),
     )
     return (
-        out.withColumn("quality_reject_stage", stage)
+        rep.withColumn("quality_reject_stage", stage)
         .withColumn("quality_reject_reason", reason)
         .withColumn("quality_keep", reason.isNull())
         .drop("shape_reject_reason", "fw_reject_reason", "rep_reject_reason")

@@ -1366,3 +1366,57 @@ def test_string_id_generality_repetition_and_decontam(spark):
     )
     out = {r["doc_id"]: r["clean_text"] for r in scrubbed.collect()}
     assert "one two three four five" not in out["a#1"]
+
+
+def test_filter_repetition_fused_parity_and_plan(spark):
+    """filter_repetition_fused == the composed filter_repetition verdict
+    on 120 seeded random docs (tiny vocab -> heavy gram collisions and
+    covered-char ties), and its plan has zero Exchange."""
+    import random
+
+    from fineweb_legal_spark.operators.textql import (
+        filter_repetition,
+        filter_repetition_fused,
+    )
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "ab", "the", "xx", "spark", "q", "zz"]
+    seps = [" ", " ", " ", "\t", "\n", "  "]
+    rows = []
+    for i in range(120):
+        n_words = rng.randint(0, 40)
+        toks = [rng.choice(vocab) for _ in range(n_words)]
+        text = "".join(
+            t + rng.choice(seps) for t in toks
+        ) if toks else rng.choice(["", None])
+        rows.append((i, text))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    fused = filter_repetition_fused(docs)
+    plan = fused._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert ") Exchange" not in plan, plan
+
+    got_f = {r["doc_id"]: r["rep_reject_reason"] for r in fused.collect()}
+    got_c = {
+        r["doc_id"]: r["rep_reject_reason"]
+        for r in filter_repetition(docs).collect()
+    }
+    assert got_f == got_c
+    assert any(v is not None for v in got_f.values())  # non-trivial corpus
+
+    # cascade built on the fused kernel is Exchange-free end to end
+    from fineweb_legal_spark.operators.quality import (
+        document_quality_verdicts,
+    )
+
+    cplan = document_quality_verdicts(docs)._jdf.queryExecution(
+    ).explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert ") Exchange" not in cplan, cplan
