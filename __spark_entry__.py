@@ -836,7 +836,14 @@ def q_repetition_signals_docs(spark, sf_dir):
     # n-grams (pure per-row Arrow pass, zero Exchange); signal='dup_line'
     # — the FineWeb/Gopher duplicated-LINE character fraction (exact
     # split('\n') line match, newlines excluded from the char weights;
-    # another zero-Exchange per-row Arrow pass, textql.dup_line_chars).
+    # another zero-Exchange per-row Arrow pass, textql.dup_line_chars);
+    # signal='cascade' — the FULL document-quality cascade verdict
+    # (operators/quality.py: shape -> fineweb -> fused repetition) as
+    # gram='stage/reason' (null = keep), checked against a DuckDB oracle
+    # that recomputes every rule family independently in SQL.
+    from fineweb_legal_spark.operators.quality import (
+        document_quality_verdicts,
+    )
     from fineweb_legal_spark.operators.textql import (
         dup_line_chars,
         dup_ngram_signals,
@@ -870,7 +877,19 @@ def q_repetition_signals_docs(spark, sf_dir):
         F.lit(None).cast("long").alias("cnt"),
         F.col("dup_line_char_frac").alias("char_frac"),
     )
-    return top.unionByName(dup).unionByName(dline)
+    casc = document_quality_verdicts(docs).select(
+        "doc_id",
+        F.lit("cascade").alias("signal"),
+        F.lit(0).cast("int").alias("n"),
+        F.concat_ws(
+            "/", "quality_reject_stage", "quality_reject_reason"
+        ).alias("gram"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.lit(None).cast("double").alias("char_frac"),
+    ).withColumn(
+        "gram", F.when(F.col("gram") != "", F.col("gram"))  # keep -> null
+    )
+    return top.unionByName(dup).unionByName(dline).unionByName(casc)
 
 
 def q_validate_structure_t2(spark, sf_dir):
@@ -2378,6 +2397,113 @@ def _oracle_base() -> dict[str, str]:
                      CAST(sum(CASE WHEN cnt > 1 THEN len * cnt
                               ELSE 0 END) AS DOUBLE) AS ldup
               FROM lcnt GROUP BY doc_id
+            ),
+            sfx AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\\S+')) AS words,
+                     CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                       THEN round(CAST(len(regexp_extract_all(text,
+                                 '\\S*[A-Za-z]\\S*')) AS DOUBLE)
+                             / len(regexp_extract_all(text, '\\S+')), 6)
+                     END AS alpha_f,
+                     round(CAST(len(regexp_extract_all(text,
+                               '(?m)^[ \t]*[-•*]')) AS DOUBLE)
+                           / len(string_split(text, chr(10))), 6)
+                         AS bullet_f,
+                     round(CAST(len(regexp_extract_all(text,
+                               '(?m)(\\.\\.\\.|…)[ \t]*$')) AS DOUBLE)
+                           / len(string_split(text, chr(10))), 6)
+                         AS ellipsis_f,
+                     round(CAST(len(regexp_extract_all(text,
+                               '(?m)[.!?"''][ \t]*$')) AS DOUBLE)
+                           / len(string_split(text, chr(10))), 6)
+                         AS punct_f,
+                     round(CAST(len(string_split(text, chr(10)))
+                            - len(regexp_extract_all(text,
+                                  '(?m)^.{30,}')) AS DOUBLE)
+                           / len(string_split(text, chr(10))), 6)
+                         AS short_f,
+                     CASE WHEN len(regexp_extract_all(text, '\\S+')) > 0
+                       THEN round(CAST(len(string_split(text, chr(10))) - 1
+                                  AS DOUBLE)
+                             / len(regexp_extract_all(text, '\\S+')), 6)
+                     END AS newline_f
+              FROM documents WHERE text IS NOT NULL
+            ),
+            tp AS (
+              SELECT doc_id,
+                     max(CASE WHEN n = 2 THEN cnt END) AS c2,
+                     max(CASE WHEN n = 2 THEN
+                         round(CAST(covered AS DOUBLE) / chars, 6)
+                         END) AS tf2,
+                     max(CASE WHEN n = 3 THEN cnt END) AS c3,
+                     max(CASE WHEN n = 3 THEN
+                         round(CAST(covered AS DOUBLE) / chars, 6)
+                         END) AS tf3,
+                     max(CASE WHEN n = 4 THEN cnt END) AS c4,
+                     max(CASE WHEN n = 4 THEN
+                         round(CAST(covered AS DOUBLE) / chars, 6)
+                         END) AS tf4
+              FROM ranked WHERE rn = 1 GROUP BY doc_id
+            ),
+            dfp AS (
+              SELECT d.doc_id,
+                     max(CASE WHEN d.n = 5 THEN round(CAST(
+                         coalesce(cc.cch, 0) AS DOUBLE) / d.wchars, 6)
+                         END) AS df5,
+                     max(CASE WHEN d.n = 6 THEN round(CAST(
+                         coalesce(cc.cch, 0) AS DOUBLE) / d.wchars, 6)
+                         END) AS df6,
+                     max(CASE WHEN d.n = 7 THEN round(CAST(
+                         coalesce(cc.cch, 0) AS DOUBLE) / d.wchars, 6)
+                         END) AS df7,
+                     max(CASE WHEN d.n = 8 THEN round(CAST(
+                         coalesce(cc.cch, 0) AS DOUBLE) / d.wchars, 6)
+                         END) AS df8,
+                     max(CASE WHEN d.n = 9 THEN round(CAST(
+                         coalesce(cc.cch, 0) AS DOUBLE) / d.wchars, 6)
+                         END) AS df9,
+                     max(CASE WHEN d.n = 10 THEN round(CAST(
+                         coalesce(cc.cch, 0) AS DOUBLE) / d.wchars, 6)
+                         END) AS df10
+              FROM ddocs d LEFT JOIN dcch cc
+                ON cc.doc_id = d.doc_id AND cc.n = d.n
+              GROUP BY d.doc_id
+            ),
+            cverdict AS (
+              SELECT doc.doc_id,
+                CASE
+                  WHEN s.alpha_f < 0.80 THEN 'shape/alpha_words'
+                  WHEN s.bullet_f > 0.90 THEN 'shape/bullet_lines'
+                  WHEN s.ellipsis_f > 0.30 THEN 'shape/ellipsis_lines'
+                  WHEN s.words > 0 AND s.punct_f < 0.12
+                    THEN 'fineweb/line_punct'
+                  WHEN s.words > 0 AND s.short_f > 0.67
+                    THEN 'fineweb/short_lines'
+                  WHEN s.words > 0 AND lg.dlf > 0.10
+                    THEN 'fineweb/dup_line_chars'
+                  WHEN s.words > 0 AND s.newline_f > 0.30
+                    THEN 'fineweb/newline_words'
+                  WHEN t.c2 >= 2 AND t.tf2 > 0.20
+                    THEN 'repetition/top_2gram'
+                  WHEN t.c3 >= 2 AND t.tf3 > 0.18
+                    THEN 'repetition/top_3gram'
+                  WHEN t.c4 >= 2 AND t.tf4 > 0.16
+                    THEN 'repetition/top_4gram'
+                  WHEN f.df5 > 0.15 THEN 'repetition/dup_5gram'
+                  WHEN f.df6 > 0.14 THEN 'repetition/dup_6gram'
+                  WHEN f.df7 > 0.13 THEN 'repetition/dup_7gram'
+                  WHEN f.df8 > 0.12 THEN 'repetition/dup_8gram'
+                  WHEN f.df9 > 0.11 THEN 'repetition/dup_9gram'
+                  WHEN f.df10 > 0.10 THEN 'repetition/dup_10gram'
+                END AS verdict
+              FROM documents doc
+              LEFT JOIN sfx s ON s.doc_id = doc.doc_id
+              LEFT JOIN (
+                SELECT doc_id, round(ldup / NULLIF(ltot, 0), 6) AS dlf
+                FROM lagg) lg ON lg.doc_id = doc.doc_id
+              LEFT JOIN tp t ON t.doc_id = doc.doc_id
+              LEFT JOIN dfp f ON f.doc_id = doc.doc_id
             )
             SELECT doc_id, 'top_gram' AS signal, n, gram, cnt,
                    round(CAST(covered AS DOUBLE) / chars, 6) AS char_frac
@@ -2396,6 +2522,12 @@ def _oracle_base() -> dict[str, str]:
                    CAST(NULL AS BIGINT) AS cnt,
                    round(ldup / NULLIF(ltot, 0), 6) AS char_frac
             FROM lagg
+            UNION ALL
+            SELECT doc_id, 'cascade' AS signal, 0 AS n,
+                   verdict AS gram,
+                   CAST(NULL AS BIGINT) AS cnt,
+                   CAST(NULL AS DOUBLE) AS char_frac
+            FROM cverdict
         """,
         "tfidf_top_terms_docs": """
             WITH d AS (SELECT * FROM documents WHERE text IS NOT NULL),
