@@ -1420,3 +1420,73 @@ def test_filter_repetition_fused_parity_and_plan(spark):
         )
     )
     assert ") Exchange" not in cplan, cplan
+
+
+def test_train_trigram_lm_exact_and_score(spark, tmp_path):
+    """Distributed trigram counting is EXACTLY the single-process count
+    (integer partials, order-free), the smoothed table matches
+    artifacts' math, and the trained scorer separates in- vs
+    off-distribution text."""
+    import numpy as np
+
+    from fineweb_legal_spark.artifacts import _HASH_SLOTS, _batch_trigrams
+    from fineweb_legal_spark.operators.lm import (
+        load_counts,
+        logprob_table,
+        save_counts,
+        score_perplexity,
+        train_trigram_counts,
+    )
+
+    legal = [
+        "the court considered the statute and its legislative history",
+        "a contract requires offer acceptance and valid consideration",
+        "the appellate court reviewed the finding for clear error",
+        "this agreement is governed by the laws of the state",
+    ] * 3
+    rows = [(i, t, "en") for i, t in enumerate(legal)]
+    rows += [(900, None, "en"), (901, "zz", "en")]  # null + sub-trigram
+    rows += [(950 + i, "ein vertrag braucht angebot und annahme", "de")
+             for i in range(3)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    got = train_trigram_counts(spark, docs.repartition(7), label_col="lang")
+    # single-process twin over the same texts, any order
+    def twin(texts):
+        h, _, _ = _batch_trigrams([t for t in texts if t], 1 << 30)
+        return np.bincount(h, minlength=_HASH_SLOTS)
+
+    import fineweb_legal_spark.spec as spec_
+    assert spec_.PPL_PREFIX_CHARS >= 64  # fixtures shorter than the prefix
+    assert np.array_equal(got["en"], twin([r[1] for r in rows if r[2] == "en"]))
+    assert np.array_equal(got["de"], twin([r[1] for r in rows if r[2] == "de"]))
+
+    # unlabeled variant sums everything
+    all_ = train_trigram_counts(spark, docs)
+    assert np.array_equal(all_["all"], got["en"] + got["de"])
+
+    # persist roundtrip is exact
+    p = tmp_path / "lm_counts.parquet"
+    save_counts(got, p)
+    back = load_counts(p)
+    assert set(back) == {"en", "de"}
+    assert np.array_equal(back["en"], got["en"])
+
+    # trained scorer: in-distribution text scores lower ppl than novel
+    table = logprob_table(got["en"])
+    test = spark.createDataFrame(
+        [(1, "the court considered the statute"),
+         (2, "quantum flux capacitors misalign frequently"),
+         (3, None), (4, "ab")],
+        ["doc_id", "text"],
+    )
+    out = score_perplexity(spark, test, table)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert ") Exchange" not in plan, plan
+    ppl = {r["doc_id"]: r["ppl"] for r in out.collect()}
+    assert ppl[1] < ppl[2]
+    assert ppl[3] is None and ppl[4] == 1.0
