@@ -892,6 +892,17 @@ def q_repetition_signals_docs(spark, sf_dir):
     return top.unionByName(dup).unionByName(dline).unionByName(casc)
 
 
+def q_document_quality_cascade(spark, sf_dir):
+    # NOT in the 50-entry registry (its verdict is driver-gated through
+    # repetition_signals_docs' cascade branch); exists for the PLANS.md
+    # audit and as the library's composite entry point
+    from fineweb_legal_spark.operators.quality import (
+        document_quality_verdicts,
+    )
+
+    return document_quality_verdicts(_t(spark, sf_dir, "documents"))
+
+
 def q_validate_structure_t2(spark, sf_dir):
     # agent-transcript protocol sanity over (role, tool, turn_idx):
     # tool-turn/tool-name consistency, tool-after-assistant ordering,

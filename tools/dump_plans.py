@@ -74,7 +74,21 @@ PICKS = {
         "exchanges, both map-side combinable (distinct (doc, n, gram) "
         "triples, then one row per (doc, n)); top-1 is max(struct), not a "
         "window. dup_gram branch: pure per-row Arrow pass (crc32+Horner "
-        "hash stream + diff-array interval union) - zero Exchange."
+        "hash stream + diff-array interval union) - zero Exchange. "
+        "dup_line branch (round 4): per-row pandas explode+groupby "
+        "kernel - zero Exchange. cascade branch (round 4): the full "
+        "document-quality verdict - zero Exchange (see "
+        "document_quality_cascade below)."
+    ),
+    "document_quality_cascade": (
+        "Round 4: every heuristic rule family (Gopher doc-shape, FineWeb "
+        "custom incl. duplicated-line chars, Gopher repetition via the "
+        "FUSED verdict kernel) behind one verdict with ZERO Exchange end "
+        "to end: native regexp stages feed two pass-through Arrow stages "
+        "(dup-line kernel, fused repetition profile), and cheap-rejected "
+        "rows skip the repetition kernel via nulled gate text - no gram "
+        "shuffle, no verdict join. 2.2x the composed path at 2M turns "
+        "(BENCH.md)."
     ),
     "mixture_sample_docs": (
         "Per-source rate thresholds broadcast; the md5-prefix filter runs "
