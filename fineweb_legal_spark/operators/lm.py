@@ -177,3 +177,56 @@ def load_counts(path: str | Path) -> dict[str, np.ndarray]:
         vec[grp["slot"].to_numpy()] = grp["count"].to_numpy()
         out[str(lab)] = vec
     return out
+
+
+def score_langid(
+    spark: SparkSession,
+    df: DataFrame,
+    counts: dict[str, np.ndarray],
+    text_col: str = "text",
+    out_col: str = "pred_lang",
+    default_lang: str | None = None,
+    prefix: int = spec.LANGID_PREFIX_CHARS,
+) -> DataFrame:
+    """df + ``out_col`` — language-ID under TRAINED per-language trigram
+    tables (``train_trigram_counts(label_col=...)`` output): per language,
+    one broadcast log-prob gather + segment sum, argmax across languages —
+    the artifact's exact classifier math over fitted tables. Null text
+    predicts null; sub-trigram text predicts ``default_lang`` (first
+    language alphabetically when unset, the deterministic tie home)."""
+    langs = tuple(sorted(counts))
+    if not langs:
+        raise ValueError("no language tables")
+    tables = np.stack([logprob_table(counts[lab]) for lab in langs])
+    fallback = default_lang if default_lang is not None else langs[0]
+    bc = spark.sparkContext.broadcast(tables)
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tabs = bc.value
+        for pdf in batches:
+            texts = pdf[text_col].tolist()
+            idx = [i for i, t in enumerate(texts) if t is not None]
+            vals: list[str | None] = [None] * len(texts)
+            if idx:
+                h, starts, cnts = _batch_trigrams(
+                    [texts[i] for i in idx], prefix
+                )
+                preds = [fallback] * len(idx)
+                if h.size:
+                    sums = np.empty((len(langs), starts.size))
+                    for i in range(len(langs)):
+                        sums[i] = np.add.reduceat(tabs[i][h], starts)
+                    best = np.argmax(sums, axis=0)
+                    j = 0
+                    for i, c in enumerate(cnts):
+                        if c > 0:
+                            preds[i] = langs[int(best[j])]
+                            j += 1
+                for j, i in enumerate(idx):
+                    vals[i] = preds[j]
+            yield pdf.assign(**{out_col: pd.Series(vals, index=pdf.index)})
+
+    return df.mapInPandas(fn, schema)

@@ -1490,3 +1490,45 @@ def test_train_trigram_lm_exact_and_score(spark, tmp_path):
     ppl = {r["doc_id"]: r["ppl"] for r in out.collect()}
     assert ppl[1] < ppl[2]
     assert ppl[3] is None and ppl[4] == 1.0
+
+
+def test_score_langid_trained_tables(spark):
+    """Language-ID from TRAINED per-language tables: fit on labeled seed
+    rows, classify held-out sentences of both languages correctly."""
+    from fineweb_legal_spark.operators.lm import (
+        score_langid,
+        train_trigram_counts,
+    )
+
+    en = [
+        "the court considered the statute and its legislative history",
+        "a contract requires offer acceptance and valid consideration",
+        "the appellate court reviewed the finding for clear error",
+    ]
+    de = [
+        "das gericht hat die sache zur entscheidung angenommen",
+        "ein vertrag braucht angebot und annahme der parteien",
+        "die beschwerde wurde durch das gericht verworfen",
+    ]
+    seed = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(en)]
+        + [(100 + i, t, "de") for i, t in enumerate(de)],
+        ["doc_id", "text", "lang"],
+    )
+    counts = train_trigram_counts(spark, seed, label_col="lang")
+
+    test = spark.createDataFrame(
+        [
+            (1, "the court reviewed the contract for error"),
+            (2, "das gericht hat den vertrag angenommen"),
+            (3, None),
+            (4, "zz"),  # sub-trigram -> deterministic fallback
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["pred_lang"]
+        for r in score_langid(spark, test, counts).collect()
+    }
+    assert got[1] == "en" and got[2] == "de"
+    assert got[3] is None and got[4] == "de"  # alphabetical fallback
