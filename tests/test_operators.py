@@ -1532,3 +1532,68 @@ def test_score_langid_trained_tables(spark):
     }
     assert got[1] == "en" and got[2] == "de"
     assert got[3] is None and got[4] == "de"  # alphabetical fallback
+
+
+def test_line_signal_regex_parity_randomized(spark):
+    """Spark's whole-text (?m) Java-regex line signals == a pure-Python
+    PER-LINE twin on 200 seeded random docs (bullets, ellipses, unicode
+    letters, emoji, tabs, blanks) — guards the multiline-regex semantics
+    the doc-shape/FineWeb fractions are built on. Spark values are
+    round(.,6) HALF_UP; the twin compares unrounded at 5e-7."""
+    import random
+    import re
+
+    from fineweb_legal_spark.operators.textql import (
+        doc_shape_signals,
+        fineweb_quality_signals,
+    )
+
+    rng = random.Random(23)
+    words = ["word", "法律", "éclair", "123", "x9", "—", "🙂", "a.b",
+             "end.", "no", "the", "-", "..."]
+    line_starts = ["", " ", "\t ", "- ", "• ", "* ", "  * "]
+    line_ends = ["", ".", "!", "?", '"', "'", "...", "…", "... ", "…\t"]
+    docs = []
+    for i in range(200):
+        n_lines = rng.randint(0, 6)
+        lines = []
+        for _ in range(n_lines):
+            body = " ".join(rng.choice(words)
+                            for _ in range(rng.randint(0, 8)))
+            lines.append(rng.choice(line_starts) + body
+                         + rng.choice(line_ends))
+        docs.append((i, "\n".join(lines) if n_lines else ""))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in fineweb_quality_signals(doc_shape_signals(df)).collect()
+    }
+
+    for i, text in docs:
+        lines = text.split("\n")
+        ws = re.findall(r"\S+", text)
+        alpha = [w for w in ws if re.search(r"[A-Za-z]", w)]
+        exp = {
+            "alpha_word_frac": len(alpha) / len(ws) if ws else None,
+            "bullet_line_frac": sum(
+                bool(re.match(r"[ \t]*[-•*]", ln)) for ln in lines
+            ) / len(lines),
+            "ellipsis_line_frac": sum(
+                bool(re.search(r"(\.\.\.|…)[ \t]*$", ln)) for ln in lines
+            ) / len(lines),
+            "punct_line_frac": sum(
+                bool(re.search(r"[.!?\"'][ \t]*$", ln)) for ln in lines
+            ) / len(lines),
+            "short_line_frac": sum(len(ln) < 30 for ln in lines)
+            / len(lines),
+            "newline_word_frac": (len(lines) - 1) / len(ws)
+            if ws else None,
+        }
+        for k, v in exp.items():
+            g = got[i][k]
+            if v is None:
+                assert g is None, (i, k, g, text)
+            else:
+                assert g is not None and abs(g - v) <= 5e-7, (
+                    i, k, g, v, text,
+                )
