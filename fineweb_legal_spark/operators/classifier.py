@@ -17,8 +17,9 @@ shape, every stage scale-bounded:
   mapInPandas over the persisted features, emitting one partial
   (gradient-sum, count, loss-sum) row per Arrow batch; the driver sums
   partials (sorted for run-to-run stability) and steps. Per-iteration
-  driver traffic is O(batches x dim) doubles — dim is the hash width
-  (2^15 default), independent of corpus size.
+  driver traffic is O(batches x dim) doubles — or exactly dim+3 rows
+  with ``spark_reduce=True`` (posexplode + map-side-combinable per-index
+  sum), the 10^6-batch scale path.
 - **Score natively** (``score_quality``): the trained weights become a
   tiny (idx, w) table broadcast-joined onto the exploded corpus, one
   groupBy(doc) sum, sigmoid — no Python in the scoring path at all, so
@@ -107,11 +108,22 @@ def train_quality_classifier(
     iters: int = 30,
     lr: float = 0.5,
     l2: float = 1e-4,
+    spark_reduce: bool = False,
 ) -> TrainedClassifier:
     """Full-batch logistic-regression GD over a ``featurize`` frame with a
     ``label`` column (0/1). One zero-Exchange Arrow pass per iteration;
     l2 applies to weights, not bias. Persist ``feats`` before calling —
     the loop scans it ``iters`` times.
+
+    ``spark_reduce``: False (default) collects the per-batch gradient
+    partials and sums them driver-side in sorted order — bit-reproducible
+    for a fixed partitioning, driver traffic O(batches × dim) doubles
+    (fine up to ~10^4 batches). True reduces the partials IN Spark
+    (posexplode + map-side-combinable per-index sum), so the driver
+    receives exactly dim+2 rows per iteration regardless of batch count —
+    the 10^6-batch scale path; float sums then follow Spark's partial-agg
+    order, reproducible only to float-summation error (~1e-12/step,
+    pytest-pinned vs the driver path at 1e-8).
     """
     sc = spark.sparkContext
     schema = T.StructType(
@@ -164,19 +176,50 @@ def train_quality_classifier(
                     }
                 )
 
-        parts = sorted(
-            feats.mapInPandas(fn, schema).collect(), key=lambda r: r["key"]
-        )
-        n = sum(r["n"] for r in parts)
-        if n == 0:
-            raise ValueError("empty training frame")
+        partials = feats.mapInPandas(fn, schema)
         g = np.zeros(dim, dtype=np.float64)
         gb = 0.0
         loss = 0.0
-        for r in parts:
-            g += np.asarray(r["g"], dtype=np.float64)
-            gb += r["gb"]
-            loss += r["loss"]
+        if spark_reduce:
+            # one scan: scalars ride as three extra vector slots; dropping
+            # exact zeros before the exchange is lossless (missing index
+            # -> 0.0, the value it had)
+            rows = (
+                partials.select(
+                    F.posexplode(
+                        F.concat(
+                            "g",
+                            F.array(
+                                "gb", F.col("n").cast("double"), "loss"
+                            ),
+                        )
+                    ).alias("i", "v")
+                )
+                .filter(F.col("v") != 0.0)
+                .groupBy("i")
+                .agg(F.sum("v").alias("v"))
+                .collect()
+            )
+            vec = np.zeros(dim + 3, dtype=np.float64)
+            for r in rows:
+                vec[r["i"]] = r["v"]
+            g = vec[:dim]
+            gb = float(vec[dim])
+            n = int(round(vec[dim + 1]))
+            loss = float(vec[dim + 2])
+            if n == 0:
+                raise ValueError("empty training frame")
+        else:
+            parts = sorted(
+                partials.collect(), key=lambda r: r["key"]
+            )
+            n = sum(r["n"] for r in parts)
+            if n == 0:
+                raise ValueError("empty training frame")
+            for r in parts:
+                g += np.asarray(r["g"], dtype=np.float64)
+                gb += r["gb"]
+                loss += r["loss"]
         losses.append(loss / n)
         w -= lr * (g / n + l2 * w)
         b -= lr * (gb / n)

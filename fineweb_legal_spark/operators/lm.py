@@ -12,10 +12,12 @@ Scale shape (the classifier-gradient pattern):
 - **Count** (``train_trigram_counts``): ONE zero-Exchange mapInPandas
   over (label?, text); each Arrow batch emits one partial count VECTOR
   per label (np.bincount over the vectorized trigram-hash stream —
-  artifacts._batch_trigrams, no per-row Python hashing). The driver sums
-  partials: integer sums, so the result is EXACTLY order- and
+  artifacts._batch_trigrams, no per-row Python hashing), then a
+  Spark-side sparse reduction (posexplode + map-side-combinable
+  (label, slot) sum) delivers only nonzero totals to the
+  driver — O(labels × occupied-slots) rows, corpus- AND batch-count-free.
+  Integer sums end to end, so the result is EXACTLY order- and
   partitioning-independent (pytest: bit-equal to a single-process twin).
-  Driver traffic is O(batches × labels × 2^16 longs), corpus-size-free.
 - **Smooth** (``logprob_table``): log((c + 0.5) / (total + 0.5·slots)) —
   identical to artifacts.build_artifacts, so a trained table is a drop-in
   for the embedded one.
@@ -53,7 +55,8 @@ def train_trigram_counts(
     """{label: int64 counts[2^16]} of char-trigram hashes over the corpus
     (lowercased, first ``prefix`` chars per row — the scorer's exact
     tokenization). Without ``label_col`` the single key is 'all'. Null
-    texts and null labels are skipped."""
+    texts and null labels are skipped; a label whose texts are all
+    sub-trigram yields no key."""
     cols = ([label_col] if label_col else []) + [text_col]
     src = df.select(*cols)
     schema = T.StructType(
@@ -94,12 +97,27 @@ def train_trigram_counts(
                 }
             )
 
-    parts = src.mapInPandas(fn, schema).collect()
+    # Spark-side sparse reduction: posexplode the partial vectors, drop
+    # zero slots, map-side-combinable (label, slot) sum — the driver
+    # receives only nonzero (label, slot, total) rows instead of
+    # O(batches × 2^16) dense vectors (the difference between KBs and
+    # hundreds of GB at 10^6 Arrow batches). Integer sums, so the result
+    # stays EXACTLY partitioning- and order-independent.
+    from pyspark.sql import functions as F
+
+    reduced = (
+        src.mapInPandas(fn, schema)
+        .select("label", F.posexplode("counts").alias("slot", "c"))
+        .filter(F.col("c") > 0)
+        .groupBy("label", "slot")
+        .agg(F.sum("c").alias("total"))
+        .collect()
+    )
     agg: dict[str, np.ndarray] = {}
-    for r in parts:
+    for r in reduced:
         key = "all" if r["label"] == _NO_LABEL else r["label"]
-        vec = np.asarray(r["counts"], dtype=np.int64)
-        agg[key] = agg.get(key, np.zeros(_HASH_SLOTS, dtype=np.int64)) + vec
+        vec = agg.setdefault(key, np.zeros(_HASH_SLOTS, dtype=np.int64))
+        vec[r["slot"]] += r["total"]
     return agg
 
 

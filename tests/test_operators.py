@@ -1597,3 +1597,29 @@ def test_line_signal_regex_parity_randomized(spark):
                 assert g is not None and abs(g - v) <= 5e-7, (
                     i, k, g, v, text,
                 )
+
+
+def test_classifier_spark_reduce_matches_driver_reduce(spark):
+    """spark_reduce=True (posexplode per-index gradient sum, dim+3 rows to
+    the driver per iteration) trains to the same weights as the default
+    driver-side reduction within float-summation error."""
+    import numpy as np
+
+    from fineweb_legal_spark.operators.classifier import (
+        featurize,
+        train_quality_classifier,
+    )
+
+    rows = [(i, f"spam offer free prize number {i}", 0) for i in range(6)]
+    rows += [(50 + i, f"the court reviewed statute section {i}", 1)
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "label"])
+    feats = featurize(docs, label_col="label", dim=1 << 10).persist()
+    a = train_quality_classifier(spark, feats, dim=1 << 10, iters=8)
+    b = train_quality_classifier(
+        spark, feats, dim=1 << 10, iters=8, spark_reduce=True
+    )
+    feats.unpersist()
+    assert np.allclose(a.weights, b.weights, atol=1e-8)
+    assert abs(a.bias - b.bias) < 1e-8
+    assert np.allclose(a.losses, b.losses, atol=1e-8)
