@@ -1406,9 +1406,14 @@ def q_customer_order_joins(spark, sf_dir):
 
 def q_neardup_pairs(spark, sf_dir):
     # the near-duplicate PAIR family in one tagged frame: MinHash-LSH and
-    # SimHash banding over t1 turns plus the exact-Jaccard O(n^2)
-    # validation baseline over documents. 'score' is verified Jaccard for
-    # the jaccard paths and Hamming distance for simhash.
+    # SimHash banding over t1 turns, the exact-Jaccard O(n^2) validation
+    # baseline over documents, and conversation prefix dedup over t1
+    # (operators/prefixdedup.py — ordered-turn-sequence dedup, the
+    # transcript axis's own pair family member). 'score' is verified
+    # Jaccard for the jaccard paths, Hamming distance for simhash, and
+    # matched prefix length for prefix_t1.
+    from fineweb_legal_spark.operators.prefixdedup import prefix_dedup_pairs
+
     mh = _t1_minhash_pairs(spark).select(
         "id_a", "id_b", F.col("jaccard").alias("score")
     )
@@ -1418,11 +1423,64 @@ def q_neardup_pairs(spark, sf_dir):
     jc = q_jaccard_exact_docs(spark, sf_dir).select(
         "id_a", "id_b", F.col("jaccard").alias("score")
     )
+    pf = prefix_dedup_pairs(
+        spark.read.parquet(str(ensure_transcripts("t1")))
+    ).select(
+        F.col("loser").alias("id_a"),
+        F.col("winner").alias("id_b"),
+        F.col("matched_turns").cast("double").alias("score"),
+    )
     return (
         _tag(mh, "minhash_t1")
         .unionByName(_tag(sh, "simhash_t1"))
         .unionByName(_tag(jc, "jaccard_docs"))
+        .unionByName(_tag(pf, "prefix_t1"))
     )
+
+
+def q_set_ops_docs(spark, sf_dir):
+    # U1/U2 harmonized union + U4 intersect overlap audit in one tagged
+    # frame (formerly two queries): 'key' is the doc_id for the union
+    # branch and the normalized text hash for the intersect branch.
+    u = q_union_by_name_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("key"), "source", "lang"
+    )
+    i = q_intersect_hashes_docs(spark, sf_dir).select(
+        F.col("text_hash").alias("key"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    return _tag(u, "union").unionByName(_tag(i, "intersect"))
+
+
+def q_transcript_repairs_t2(spark, sf_dir):
+    # SFT-preprocessing repairs over t2 transcripts, config-tagged
+    # (operators/repairs.py): 'coerce' merges consecutive same-role turn
+    # runs (idx = dense new index, n = turns merged); 'truncate' keeps the
+    # longest turn prefix within a 200-estimated-token budget (idx = the
+    # original turn_idx, n = the running token total). Both pure JVM
+    # window/aggregate plans over the conv_id partitioning.
+    from fineweb_legal_spark.operators.repairs import (
+        coerce_roles,
+        truncate_conversation_tokens,
+    )
+
+    t = spark.read.parquet(str(ensure_transcripts("t2")))
+    co = coerce_roles(t).select(
+        "conv_id",
+        F.col("new_idx").alias("idx"),
+        "role",
+        "text",
+        F.col("n_merged").cast("long").alias("n"),
+    )
+    tr = truncate_conversation_tokens(t, budget=200).select(
+        "conv_id",
+        F.col("turn_idx").alias("idx"),
+        "role",
+        "text",
+        F.col("cum_tok").alias("n"),
+    )
+    return _tag(co, "coerce").unionByName(_tag(tr, "truncate"))
 
 
 def q_dedup_clusters_rollup_t1(spark, sf_dir):
@@ -1585,8 +1643,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_totals_docs": q_corpus_totals_docs,
         "sample_audit_docs": q_sample_audit_docs,
         "splits_and_tiers": q_splits_and_tiers,
-        "union_by_name_docs": q_union_by_name_docs,
-        "intersect_hashes_docs": q_intersect_hashes_docs,
+        "set_ops_docs": q_set_ops_docs,
+        # transcripts
+        "transcript_repairs_t2": q_transcript_repairs_t2,
         # events
         "value_stats_events": q_value_stats_events,
         "class_weights_events": q_class_weights_events,
@@ -2963,8 +3022,6 @@ def oracle_sql() -> dict[str, str]:
             "embedding_topk_cosine",
             "length_filter_docs",
             "dedup_exact_docs",
-            "union_by_name_docs",
-            "intersect_hashes_docs",
             "class_weights_events",
             "dup_user_events",
             "sessionize_events",
@@ -3033,6 +3090,101 @@ def oracle_sql() -> dict[str, str]:
             "jaccard_docs",
             f"SELECT id_a, id_b, jaccard AS score"
             f" FROM ({b['jaccard_exact_docs']})",
+        ),
+        (
+            "prefix_t1",
+            # independent re-derivation of the prefix-dedup contract:
+            # per-conv ordered turn-key lists, prefix digests at every
+            # length via list slicing, the same (longer-wins,
+            # conv_id-min-on-ties) rule, winner = max (len, conv_id)
+            f"""
+            WITH t AS (
+              SELECT conv_id, turn_idx, md5(lower(trim(text))) AS h
+              FROM read_parquet('{ensure_transcripts("t1")}')
+              WHERE text IS NOT NULL
+            ), lists AS (
+              SELECT conv_id, list(h ORDER BY turn_idx) AS hs,
+                     CAST(count(*) AS INT) AS len
+              FROM t GROUP BY conv_id
+            ), pref AS (
+              SELECT conv_id, CAST(m AS INT) AS m,
+                     md5(array_to_string(hs[1:m], '|')) AS prefix_h, len
+              FROM (SELECT conv_id, hs, len,
+                           unnest(generate_series(1, len)) AS m
+                    FROM lists)
+            ), fulls AS (
+              SELECT conv_id AS loser, len AS matched_turns,
+                     md5(array_to_string(hs, '|')) AS full_h
+              FROM lists
+            ), cand AS (
+              SELECT f.loser, f.matched_turns,
+                     p.conv_id AS winner, p.len AS winner_len
+              FROM fulls f JOIN pref p
+                ON f.full_h = p.prefix_h AND f.matched_turns = p.m
+              WHERE p.conv_id <> f.loser
+                AND (p.len > f.matched_turns
+                     OR (p.len = f.matched_turns AND p.conv_id < f.loser))
+            )
+            SELECT loser AS id_a, winner AS id_b,
+                   CAST(matched_turns AS DOUBLE) AS score
+            FROM (SELECT loser, matched_turns, winner,
+                         row_number() OVER (
+                           PARTITION BY loser
+                           ORDER BY winner_len DESC, winner DESC) AS rn
+                  FROM cand)
+            WHERE rn = 1
+            """,
+        ),
+    )
+    o["set_ops_docs"] = tagged(
+        (
+            "union",
+            f"SELECT CAST(doc_id AS VARCHAR) AS key, source, lang"
+            f" FROM ({b['union_by_name_docs']})",
+        ),
+        (
+            "intersect",
+            f"SELECT text_hash AS key, NULL AS source, NULL AS lang"
+            f" FROM ({b['intersect_hashes_docs']})",
+        ),
+    )
+    o["transcript_repairs_t2"] = tagged(
+        (
+            "coerce",
+            f"""
+            WITH f AS (
+              SELECT conv_id, turn_idx, role, coalesce(text, '') AS text,
+                     CASE WHEN lag(turn_idx) OVER w IS NULL
+                            OR role IS DISTINCT FROM lag(role) OVER w
+                          THEN 1 ELSE 0 END AS flag
+              FROM read_parquet('{ensure_transcripts("t2")}')
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), r AS (
+              SELECT conv_id, turn_idx, role, text,
+                     sum(flag) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS run
+              FROM f
+            )
+            SELECT conv_id, CAST(run - 1 AS INT) AS idx, min(role) AS role,
+                   string_agg(text, chr(10) ORDER BY turn_idx) AS text,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM r GROUP BY conv_id, run
+            """,
+        ),
+        (
+            "truncate",
+            f"""
+            SELECT conv_id, CAST(turn_idx AS INT) AS idx, role, text,
+                   CAST(cum AS BIGINT) AS n
+            FROM (
+              SELECT conv_id, turn_idx, role, text,
+                     sum(greatest(1, CAST(floor(
+                           length(coalesce(text, '')) / 4) AS BIGINT)))
+                       OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING) AS cum
+              FROM read_parquet('{ensure_transcripts("t2")}')
+            ) WHERE cum <= 200
+            """,
         ),
     )
     o["sample_audit_docs"] = tagged(

@@ -1,0 +1,167 @@
+"""Conversation prefix dedup: drop transcripts that are exact prefixes of
+longer transcripts.
+
+Agent/SFT corpora are full of retried and resumed runs: the same
+conversation re-executed past a crash, a branch re-rolled from turn k, a
+truncated export next to its complete twin. Document-level dedup misses
+these (the longer run is not a near-duplicate of its own prefix once it
+grows enough new turns), and turn-level dedup can't drop them (each turn
+is legitimately shared). The right unit is the ordered turn SEQUENCE:
+conversation A is redundant when its entire normalized turn sequence is a
+prefix of conversation B's — training on A adds no token not already in
+B. No reference analog — a transcript-corpus hygiene op (the transcript
+analog of the reference's document-level exact dedup,
+consolidate_and_clean.py:64-99, lifted from bags of text to ordered
+sequences).
+
+Semantics: per-turn key = md5(lower(trim(text))) over non-null-text turns
+ordered by turn_idx; prefix digest at length m = md5 of the first m keys
+joined by '|'. Conversation A (length la >= min_turns) loses iff some
+B != A has prefix_digest(la) == A's full digest and (len(B) > len(A), or
+equal lengths and B.conv_id < A.conv_id — so one canonical member of an
+identical group survives). Output: one row per loser with its canonical
+winner (the longest such B, conv_id-max on ties) and matched_turns = la.
+md5-digest equality stands in for sequence equality — the engine-exact,
+collision-negligible convention the whole dedup family shares.
+
+Scale shape (10^12-turn corpus):
+- ONE shuffle groups (conv_id, turn_idx, 16-byte key) — text never leaves
+  the scan stage;
+- per-group digest chaining is incremental (hashlib.copy per turn →
+  O(turns) total, not O(turns^2) re-hashing); inherently sequential per
+  conversation, the same honest trade as packing's greedy kernel — a
+  10^8-turn conversation serializes one task (packing's span escape hatch
+  cannot apply: a prefix digest is order-dependent across the whole run);
+- the candidate join is an equi-join on (digest, m): full-sequence rows
+  (one per conversation) against prefix rows (one per turn). Digest
+  equality makes matches rare at scale, so AQE's broadcast-or-shuffle
+  choice is left to runtime stats;
+- winner resolution is a map-side-combinable max(struct) per loser.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PREFIX_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("m", T.IntegerType()),
+        T.StructField("prefix_h", T.StringType()),
+        T.StructField("conv_len", T.IntegerType()),
+    ]
+)
+
+
+def _prefix_digests(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("turn_idx")
+    keys = pdf["turn_key"].tolist()
+    out_m, out_h = [], []
+    acc = hashlib.md5()
+    for i, k in enumerate(keys):
+        if i:
+            acc.update(b"|")
+        acc.update(k.encode("ascii"))
+        out_m.append(i + 1)
+        out_h.append(acc.copy().hexdigest())
+    n = len(keys)
+    return pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"].iloc[:1].repeat(n).reset_index(drop=True),
+            "m": pd.array(out_m, dtype="int32"),
+            "prefix_h": out_h,
+            "conv_len": pd.array([n] * n, dtype="int32"),
+        }
+    )
+
+
+def conversation_prefix_digests(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """(conv_id, m, prefix_h, conv_len): md5 digest of each conversation's
+    first m normalized turn keys, for every m in 1..conv_len."""
+    turns = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).cast("int").alias("turn_idx"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("turn_key"),
+    )
+    return turns.groupBy("conv_id").applyInPandas(
+        _prefix_digests, schema=_PREFIX_SCHEMA
+    )
+
+
+def prefix_dedup_pairs(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    min_turns: int = 1,
+) -> DataFrame:
+    """(loser, winner, matched_turns): conversations whose full normalized
+    turn sequence is a prefix of another conversation's. One row per
+    loser; winner = the longest superset run (conv_id-max on ties)."""
+    digests = conversation_prefix_digests(df, conv_col, turn_col, text_col)
+    full = (
+        digests.filter(F.col("m") == F.col("conv_len"))
+        .filter(F.col("conv_len") >= min_turns)
+        .select(
+            F.col("conv_id").alias("loser"),
+            F.col("conv_len").alias("matched_turns"),
+            F.col("prefix_h").alias("full_h"),
+        )
+    )
+    cand = full.join(
+        digests.select(
+            F.col("conv_id").alias("winner"),
+            "m",
+            "prefix_h",
+            F.col("conv_len").alias("winner_len"),
+        ),
+        on=[
+            F.col("full_h") == F.col("prefix_h"),
+            F.col("matched_turns") == F.col("m"),
+        ],
+    ).filter(
+        (F.col("winner") != F.col("loser"))
+        & (
+            (F.col("winner_len") > F.col("matched_turns"))
+            | (
+                (F.col("winner_len") == F.col("matched_turns"))
+                & (F.col("winner") < F.col("loser"))
+            )
+        )
+    )
+    best = F.max(F.struct("winner_len", "winner")).alias("best")
+    return (
+        cand.groupBy("loser", "matched_turns")
+        .agg(best)
+        .select(
+            "loser",
+            F.col("best.winner").alias("winner"),
+            "matched_turns",
+        )
+    )
+
+
+def prefix_dedup(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    min_turns: int = 1,
+) -> DataFrame:
+    """The corpus with prefix-redundant conversations removed (all turns
+    of every loser dropped, winners untouched). Losers anti-join on
+    conv_id — the same slim-exchange shape as the pipeline's exact dedup."""
+    losers = prefix_dedup_pairs(
+        df, conv_col, turn_col, text_col, min_turns
+    ).select(F.col("loser").alias(conv_col))
+    return df.join(losers, on=conv_col, how="left_anti")

@@ -1,0 +1,120 @@
+"""Transcript repairs: role-run coalescing and token-budget truncation.
+
+Two SFT-preprocessing transforms every trainer applies between raw
+transcripts and a tokenizer, both pure JVM window/aggregate plans (zero
+Python in the hot path):
+
+- ``coerce_roles``: chat templates require strictly alternating roles;
+  raw agent logs routinely emit consecutive same-role turns (multi-part
+  assistant answers, repeated tool results). Merge each maximal run of
+  consecutive same-role turns into ONE turn (texts joined by newline,
+  original order), renumbering turn_idx densely. Null roles compare via
+  null-safe equality (two consecutive null-role turns merge).
+
+- ``truncate_conversation_tokens``: context windows are finite; keep the
+  longest PREFIX of turns whose cumulative estimated tokens fits the
+  budget (the turn-sequence analog of word_boundary_truncate — never
+  split a turn mid-text). Token estimate is the repo-wide F16 convention
+  max(1, len(text)//4) (packing.py uses the same). A first turn that
+  alone exceeds the budget drops the whole conversation — a conversation
+  whose opening cannot fit is unusable, matching the packing kernel's
+  oversize-singleton philosophy inverted for prefixes.
+
+No reference analog — transcript-corpus ops (the reference is a
+single-document pipeline). Scale shape: one window partitioned by
+conv_id each — a single hash exchange on the conversation key, the same
+partitioning the pipeline's conv_stats stage already uses, so at 10^12
+turns these chain onto existing conv-partitioned stages with no extra
+shuffle. The coalesce's ordered text join is collect_list(struct) +
+array_sort + array_join — bounded by run length (a run is a few turns;
+a pathological single-role conversation degrades to one row holding that
+conversation's text, the documented giant-group trade shared with
+packing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def coerce_roles(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Merge consecutive same-role turns; returns (conv_id, new_idx, role,
+    text, n_merged) with new_idx dense from 0."""
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    flagged = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).cast("int").alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("text"),
+    ).withColumn(
+        "_run",
+        # a run starts at the conversation's first row (lag over the
+        # non-null turn_idx is NULL exactly there — role itself may
+        # legitimately be NULL) or wherever the role changes null-safely
+        F.sum(
+            F.when(F.lag("turn_idx").over(w).isNull(), F.lit(1))
+            .otherwise(
+                (~F.col("role").eqNullSafe(F.lag("role").over(w))).cast("int")
+            )
+        ).over(w),
+    )
+    return (
+        flagged.groupBy("conv_id", "_run")
+        .agg(
+            F.min("role").alias("role"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda x: x["text"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.count(F.lit(1)).cast("int").alias("n_merged"),
+        )
+        .select(
+            "conv_id",
+            (F.col("_run") - 1).cast("int").alias("new_idx"),
+            "role",
+            "text",
+            "n_merged",
+        )
+    )
+
+
+def truncate_conversation_tokens(
+    df: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+) -> DataFrame:
+    """Longest prefix of each conversation's turns with cumulative
+    estimated tokens <= budget; returns the kept turns plus their running
+    total (conv_id, turn_idx, role, text, cum_tok)."""
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col).cast("int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.greatest(
+        F.lit(1), F.floor(F.length(F.coalesce(F.col(text_col), F.lit(""))) / 4)
+    ).cast("long")
+    return (
+        df.withColumn("_cum", F.sum(tok).over(w))
+        .filter(F.col("_cum") <= budget)
+        .select(
+            F.col(conv_col).alias("conv_id"),
+            F.col(turn_col).cast("int").alias("turn_idx"),
+            F.col("role").alias("role"),
+            F.col(text_col).alias("text"),
+            F.col("_cum").alias("cum_tok"),
+        )
+    )

@@ -1623,3 +1623,104 @@ def test_classifier_spark_reduce_matches_driver_reduce(spark):
     assert np.allclose(a.weights, b.weights, atol=1e-8)
     assert abs(a.bias - b.bias) < 1e-8
     assert np.allclose(a.losses, b.losses, atol=1e-8)
+
+
+def test_prefix_dedup_pairs_semantics(spark):
+    """A full-prefix conversation loses to its longest superset; identical
+    groups keep the conv_id-min member; near-miss prefixes (one differing
+    turn) survive."""
+    from fineweb_legal_spark.operators.prefixdedup import (
+        prefix_dedup,
+        prefix_dedup_pairs,
+    )
+
+    rows = [
+        # A = first 2 turns of B and of C (C longer than B)
+        ("A", 0, "hello there"), ("A", 1, "hi!"),
+        ("B", 0, "Hello there "), ("B", 1, "HI!"),  # normalization folds case
+        ("B", 2, "more"),
+        ("C", 0, "hello there"), ("C", 1, "hi!"),
+        ("C", 2, "x"), ("C", 3, "y"),
+        # D == E == F identical singletons -> D (min id) survives
+        ("D", 0, "ok"), ("E", 0, "ok"), ("F", 0, "ok"),
+        # G shares B's first turn but diverges at turn 1 -> no loss
+        ("G", 0, "hello there"), ("G", 1, "different"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    pairs = {
+        r.loser: (r.winner, r.matched_turns)
+        for r in prefix_dedup_pairs(df).collect()
+    }
+    # winner on equal-length ties = conv_id-max among eligible superset
+    # runs (E sees only D; F sees D and E and picks E)
+    assert pairs == {"A": ("C", 2), "E": ("D", 1), "F": ("E", 1)}
+    kept = sorted(
+        r.conv_id for r in prefix_dedup(df).select("conv_id").distinct().collect()
+    )
+    assert kept == ["B", "C", "D", "G"]
+
+
+def test_prefix_dedup_null_turns_and_min_turns(spark):
+    """Null-text turns are invisible to the digest (both sides of a match
+    skip them identically); min_turns suppresses short losers."""
+    from fineweb_legal_spark.operators.prefixdedup import prefix_dedup_pairs
+
+    rows = [
+        ("A", 0, "x"), ("A", 1, None), ("A", 2, "y"),
+        ("B", 0, "x"), ("B", 1, "y"), ("B", 2, "z"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = prefix_dedup_pairs(df).collect()
+    assert [(r.loser, r.winner, r.matched_turns) for r in got] == [("A", "B", 2)]
+    assert prefix_dedup_pairs(df, min_turns=3).count() == 0
+
+
+def test_coerce_roles_merges_runs(spark):
+    from fineweb_legal_spark.operators.repairs import coerce_roles
+
+    rows = [
+        ("X", 0, "user", "q1"),
+        ("X", 1, "assistant", "a1"),
+        ("X", 2, "assistant", "a2"),
+        ("X", 3, "assistant", "a3"),
+        ("X", 4, "user", "q2"),
+        # null roles merge with each other (null-safe equality)
+        ("Y", 0, None, "m1"), ("Y", 1, None, "m2"), ("Y", 2, "user", "q"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = {
+        (r.conv_id, r.new_idx): (r.role, r.text, r.n_merged)
+        for r in coerce_roles(df).collect()
+    }
+    assert out == {
+        ("X", 0): ("user", "q1", 1),
+        ("X", 1): ("assistant", "a1\na2\na3", 3),
+        ("X", 2): ("user", "q2", 1),
+        ("Y", 0): (None, "m1\nm2", 2),
+        ("Y", 1): ("user", "q", 1),
+    }
+
+
+def test_truncate_conversation_tokens_prefix_rule(spark):
+    from fineweb_legal_spark.operators.repairs import (
+        truncate_conversation_tokens,
+    )
+
+    rows = [
+        ("X", 0, "user", "a" * 40),        # 10 tokens
+        ("X", 1, "assistant", "b" * 40),   # cum 20
+        ("X", 2, "user", "c" * 400),       # cum 120 > 25 -> cut here
+        ("X", 3, "user", "tiny"),          # later small turn must NOT sneak in
+        # first turn alone over budget -> whole conversation dropped
+        ("Z", 0, "user", "z" * 400),
+        ("Z", 1, "user", "small"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    out = truncate_conversation_tokens(df, budget=25).collect()
+    assert sorted((r.conv_id, r.turn_idx, r.cum_tok) for r in out) == [
+        ("X", 0, 10), ("X", 1, 20),
+    ]
