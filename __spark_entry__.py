@@ -1485,17 +1485,36 @@ def q_transcript_repairs_t2(spark, sf_dir):
 
 def q_dedup_clusters_rollup_t1(spark, sf_dir):
     # connected-component labels rolled up per cluster: member count, docs
-    # removed by canonical-keeper dedup, and an order-insensitive
-    # membership digest — cluster ASSIGNMENT and the dedup REPORT in one
-    # frame (formerly two queries). collect_list is bounded by cluster
-    # size (near-dup clusters, not the corpus).
+    # removed by canonical-keeper dedup, an order-insensitive membership
+    # digest, and the QUALITY-AWARE keeper (operators/cluster.py
+    # cluster_representatives: argmax estimated tokens, id-max ties) —
+    # cluster ASSIGNMENT and the dedup REPORT in one frame. collect_list
+    # is bounded by cluster size (near-dup clusters, not the corpus).
     cc = _t1_cc(spark)
-    return cc.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        (F.count(F.lit(1)) - F.lit(1)).alias("n_removed"),
-        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("id")))).alias(
-            "members_md5"
-        ),
+    tok = _t1_turns(spark).select(
+        "id",
+        F.greatest(F.lit(1), F.floor(F.length("text") / 4))
+        .cast("long")
+        .alias("tok"),
+    )
+    return (
+        cc.join(tok, "id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.count(F.lit(1)) - F.lit(1)).alias("n_removed"),
+            F.md5(F.concat_ws(",", F.sort_array(F.collect_list("id")))).alias(
+                "members_md5"
+            ),
+            F.max(F.struct("tok", "id")).alias("_best"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            "n_removed",
+            "members_md5",
+            F.col("_best.id").alias("keep_id"),
+        )
     )
 
 
@@ -3352,10 +3371,24 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
     """
     o["dedup_clusters_t1"] = f"""
+        WITH cl AS ({b['dedup_clusters_t1']}),
+        q AS (
+          SELECT conv_id || '#' || printf('%06d', turn_idx) AS id,
+                 greatest(1, CAST(floor(length(text) / 4) AS BIGINT)) AS tok
+          FROM read_parquet('{ensure_transcripts("t1")}')
+          WHERE text IS NOT NULL
+        ),
+        w AS (
+          SELECT cl.cluster_id, cl.id, q.tok,
+                 row_number() OVER (PARTITION BY cl.cluster_id
+                                    ORDER BY q.tok DESC, cl.id DESC) AS rn
+          FROM cl JOIN q USING (id)
+        )
         SELECT cluster_id, count(*) AS n_members,
                count(*) - 1 AS n_removed,
-               md5(string_agg(id, ',' ORDER BY id)) AS members_md5
-        FROM ({b['dedup_clusters_t1']}) GROUP BY cluster_id
+               md5(string_agg(id, ',' ORDER BY id)) AS members_md5,
+               max(CASE WHEN rn = 1 THEN id END) AS keep_id
+        FROM w GROUP BY cluster_id
     """
     o["media_audit"] = f"""
         WITH m AS ({b['media_meta']}),

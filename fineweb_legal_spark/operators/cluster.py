@@ -203,6 +203,28 @@ def dedup_cluster_summary(cc: DataFrame) -> DataFrame:
     )
 
 
+def cluster_representatives(
+    labels: DataFrame,
+    scores: DataFrame,
+    id_col: str = "id",
+    label_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware keeper per cluster: (cluster_id, keep_id) where
+    keep_id is the member maximizing (score, id) — so deduplication keeps
+    the BEST document of each near-dup cluster, not the id-min one
+    (FineWeb-style pipelines keep the longest/highest-quality member; the
+    id-min convention of `cluster_id` stays as the stable label).
+
+    Scale shape: the score join is on the member id (same key the labels
+    already carry) and max(struct) is map-side combinable — one
+    aggregation exchange of (cluster_id, score, id) triples, no text."""
+    j = labels.join(scores.select(id_col, score_col), id_col)
+    return j.groupBy(label_col).agg(
+        F.max(F.struct(score_col, id_col)).alias("_best")
+    ).select(label_col, F.col(f"_best.{id_col}").alias("keep_id"))
+
+
 def sessionize(
     events: DataFrame,
     user_col: str = "user_id",

@@ -1724,3 +1724,22 @@ def test_truncate_conversation_tokens_prefix_rule(spark):
     assert sorted((r.conv_id, r.turn_idx, r.cum_tok) for r in out) == [
         ("X", 0, 10), ("X", 1, 20),
     ]
+
+
+def test_cluster_representatives_quality_argmax(spark):
+    from fineweb_legal_spark.operators.cluster import cluster_representatives
+
+    labels = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")],
+        "id string, cluster_id string",
+    )
+    scores = spark.createDataFrame(
+        [("a", 5), ("b", 9), ("c", 9), ("x", 1), ("y", 1)],
+        "id string, score int",
+    )
+    got = {
+        r.cluster_id: r.keep_id
+        for r in cluster_representatives(labels, scores, score_col="score").collect()
+    }
+    # argmax score, id-max tie-break: cluster a -> c (9, ties b), x -> y
+    assert got == {"a": "c", "x": "y"}
