@@ -1438,6 +1438,15 @@ def q_neardup_pairs(spark, sf_dir):
     )
 
 
+def q_prefix_dedup_t1(spark, sf_dir):
+    # standalone prefix-dedup pair view (not a registry entry — the
+    # registry sees it as neardup_pairs config 'prefix_t1'); kept for the
+    # plan audit and library users
+    from fineweb_legal_spark.operators.prefixdedup import prefix_dedup_pairs
+
+    return prefix_dedup_pairs(spark.read.parquet(str(ensure_transcripts("t1"))))
+
+
 def q_set_ops_docs(spark, sf_dir):
     # U1/U2 harmonized union + U4 intersect overlap audit in one tagged
     # frame (formerly two queries): 'key' is the doc_id for the union

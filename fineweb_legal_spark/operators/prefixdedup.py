@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 _PREFIX_SCHEMA = T.StructType(
     [
@@ -107,46 +108,46 @@ def prefix_dedup_pairs(
 ) -> DataFrame:
     """(loser, winner, matched_turns): conversations whose full normalized
     turn sequence is a prefix of another conversation's. One row per
-    loser; winner = the longest superset run (conv_id-max on ties)."""
-    digests = conversation_prefix_digests(df, conv_col, turn_col, text_col)
-    full = (
-        digests.filter(F.col("m") == F.col("conv_len"))
+    loser; winner = the longest superset run (conv_id-max on ties).
+
+    Shape: all matching happens inside ONE (prefix_h, m) window partition
+    over the single digest stream — a full row (m == conv_len) loses to
+    the bucket's best longer run if any (max(struct(conv_len, conv_id))
+    over rows with conv_len > m — a run longer than m always beats an
+    equal-length tie), else to the preceding full id in conv_id order
+    (= the max id strictly below it, the equal-length rule; the id-min
+    full of an identical group has no predecessor and survives). The
+    first window establishes the (prefix_h, m) partitioning; the filter
+    and the lag window reuse it, so the digest kernel runs ONCE and the
+    whole resolution adds exactly one exchange. A self-join formulation
+    would re-execute the kernel per side and emit O(k^2) rows for a
+    k-way identical-conversation group; this is O(k log k)."""
+    d = conversation_prefix_digests(df, conv_col, turn_col, text_col)
+    bucket = Window.partitionBy("prefix_h", "m")
+    d = d.withColumn(
+        "_best_longer",
+        F.max(
+            F.when(
+                F.col("conv_len") > F.col("m"),
+                F.struct("conv_len", "conv_id"),
+            )
+        ).over(bucket),
+    )
+    fulls = d.filter(F.col("m") == F.col("conv_len"))
+    prev_full = F.lag("conv_id").over(
+        Window.partitionBy("prefix_h", "m").orderBy("conv_id")
+    )
+    return (
+        fulls.withColumn("_prev", prev_full)
+        .withColumn(
+            "winner", F.coalesce(F.col("_best_longer.conv_id"), F.col("_prev"))
+        )
+        .filter(F.col("winner").isNotNull())
         .filter(F.col("conv_len") >= min_turns)
         .select(
             F.col("conv_id").alias("loser"),
+            "winner",
             F.col("conv_len").alias("matched_turns"),
-            F.col("prefix_h").alias("full_h"),
-        )
-    )
-    cand = full.join(
-        digests.select(
-            F.col("conv_id").alias("winner"),
-            "m",
-            "prefix_h",
-            F.col("conv_len").alias("winner_len"),
-        ),
-        on=[
-            F.col("full_h") == F.col("prefix_h"),
-            F.col("matched_turns") == F.col("m"),
-        ],
-    ).filter(
-        (F.col("winner") != F.col("loser"))
-        & (
-            (F.col("winner_len") > F.col("matched_turns"))
-            | (
-                (F.col("winner_len") == F.col("matched_turns"))
-                & (F.col("winner") < F.col("loser"))
-            )
-        )
-    )
-    best = F.max(F.struct("winner_len", "winner")).alias("best")
-    return (
-        cand.groupBy("loser", "matched_turns")
-        .agg(best)
-        .select(
-            "loser",
-            F.col("best.winner").alias("winner"),
-            "matched_turns",
         )
     )
 

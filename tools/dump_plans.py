@@ -138,6 +138,26 @@ PICKS = {
         "run time, hit positions aggregated per doc as (id, pos) pairs — "
         "text crosses the wire exactly once, into the final mask pass."
     ),
+    "transcript_repairs_t2": (
+        "Round-4 transcript repairs, tagged union: coerce (run-flag "
+        "window -> run groupBy with ordered array_join) and truncate "
+        "(cumulative-token window filter). The audit point: both branches "
+        "hash-partition on conv_id ONLY — the same key every pipeline "
+        "stage uses — and text appears in no extra exchange beyond the "
+        "per-conversation grouping itself."
+    ),
+    "prefix_dedup_t1": (
+        "Conversation prefix dedup (round 4): exactly TWO exchanges — the "
+        "groupBy(conv_id) of (conv_id, turn_idx, 16-byte turn key) feeding "
+        "the digest kernel (text never leaves the scan), then ONE "
+        "(prefix_h, m) window partition that resolves everything: "
+        "best-longer-run max(struct) over the bucket, filter to full "
+        "rows, lag over the SAME partitioning (Sort only, no new "
+        "exchange) for the equal-length rule. The audit point: the "
+        "kernel appears ONCE (a self-join formulation re-executes it per "
+        "side and emits O(k^2) rows for k-way identical groups; this is "
+        "O(k log k))."
+    ),
 }
 
 
