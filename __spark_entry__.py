@@ -1301,7 +1301,22 @@ def q_splits_and_tiers(spark, sf_dir):
             )
         ).alias("r")
     ).select(F.lit("tier").alias("config"), "r.key", "r.n")
-    return sp.unionByName(tiers)
+    # deterministic token-budget shard plan (sources/shards.py): per-shard
+    # doc counts — shard ids are a pure function of the corpus, so the
+    # counts are oracle-exact
+    from fineweb_legal_spark.sources.shards import assign_token_shards
+
+    shards = (
+        assign_token_shards(_t(spark, sf_dir, "documents"), budget=5000)
+        .groupBy("shard_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("shard").alias("config"),
+            F.col("shard_id").cast("string").alias("key"),
+            F.col("n"),
+        )
+    )
+    return sp.unionByName(tiers).unionByName(shards)
 
 
 def q_topk_groups(spark, sf_dir):
@@ -3235,6 +3250,27 @@ def oracle_sql() -> dict[str, str]:
         " SELECT 'tier_default' AS k, tier_default AS n FROM t"
         " UNION ALL SELECT 'tier_high', tier_high FROM t"
         " UNION ALL SELECT 'tier_supreme', tier_supreme FROM t)"
+        "\nUNION ALL\n"
+        # token-budget shard plan: the distributed prefix sum re-derived
+        # as one ordered window (the oracle can afford a global sort)
+        """
+        SELECT 'shard' AS config, CAST(shard_id AS VARCHAR) AS key,
+               count(*) AS n
+        FROM (
+          SELECT CAST(floor(cum_start / 5000) AS BIGINT) AS shard_id
+          FROM (
+            SELECT coalesce(sum(tok) OVER (
+                     ORDER BY md5(CAST(doc_id AS VARCHAR))
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_start
+            FROM (SELECT doc_id,
+                         greatest(1, CAST(floor(
+                             length(coalesce(text, '')) / 4) AS BIGINT))
+                           AS tok
+                  FROM documents)
+          )
+        ) GROUP BY shard_id
+        """
     )
     o["topk_groups"] = (
         f"SELECT 'doc_sources' AS config, source AS key, docs"

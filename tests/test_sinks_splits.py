@@ -53,3 +53,53 @@ def test_hash_splits_disjoint_and_stable(spark):
     assert (
         s.select("doc_id", "split").exceptAll(s2.select("doc_id", "split")).count() == 0
     )
+
+
+def test_assign_token_shards_deterministic_and_greedy(spark, tmp_path):
+    """Shard ids are a pure function of the corpus (stable across input
+    partitionings), match the single-threaded greedy first-fit over the
+    md5-shuffled order, and never split a document."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from fineweb_legal_spark.sources.shards import (
+        assign_token_shards,
+        write_token_shards,
+    )
+
+    d = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w " * 30), F.col("id").cast("string")).alias("text"),
+    )
+    a = assign_token_shards(d, budget=100).toPandas()
+    b = assign_token_shards(
+        d.repartition(7), budget=100, num_partitions=3
+    ).toPandas()
+    key = lambda p: p.sort_values("doc_id").reset_index(drop=True)
+    assert key(a).equals(key(b))
+
+    # greedy twin: md5 order, running start offset
+    import hashlib
+
+    pdf = d.toPandas()
+    pdf["tok"] = pdf["text"].str.len().floordiv(4).clip(lower=1)
+    pdf["key"] = pdf["doc_id"].map(
+        lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )
+    pdf = pdf.sort_values("key").reset_index(drop=True)
+    pdf["start"] = pdf["tok"].cumsum().shift(1, fill_value=0)
+    pdf["shard"] = pdf["start"] // 100
+    want = pdf.set_index("doc_id")["shard"].to_dict()
+    got = a.set_index("doc_id")["shard_id"].to_dict()
+    assert got == {k: int(v) for k, v in want.items()}
+
+    # writer round-trip: every document lands in exactly its shard dir
+    out = str(tmp_path / "shards")
+    write_token_shards(d, out, budget=100)
+    back = spark.read.parquet(out)
+    j = back.select("doc_id", F.col("shard_id").cast("long").alias("s")).join(
+        assign_token_shards(d, budget=100).select("doc_id", "shard_id"),
+        "doc_id",
+    )
+    assert j.filter("s <> shard_id").count() == 0
+    assert back.count() == 200
