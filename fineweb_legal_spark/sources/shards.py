@@ -74,10 +74,17 @@ def assign_token_shards(
     text_col: str = "text",
     tok_col: str | None = None,
     num_partitions: int | None = None,
+    order_by=None,
 ) -> DataFrame:
     """(doc_id, shard_id, start_tok): deterministic first-fit shard
     assignment over the md5(id)-shuffled corpus. ``tok_col`` overrides
-    the default F16 token estimate max(1, len(text)//4)."""
+    the default F16 token estimate max(1, len(text)//4). ``order_by``
+    (a plain Column or list of Columns — no .asc()/.desc(), ordering is
+    ascending over the column tuple; negate a numeric column for
+    descending) replaces the md5 shuffle with an explicit curriculum
+    order — e.g. a quality score so early shards hold the easiest
+    documents; the doc id is always appended as the deterministic
+    tie-break."""
     tok = (
         F.col(tok_col)
         if tok_col
@@ -86,10 +93,16 @@ def assign_token_shards(
             F.floor(F.length(F.coalesce(F.col(text_col), F.lit(""))) / 4),
         )
     ).cast("long")
+    if order_by is None:
+        order_cols = [F.md5(F.col(id_col).cast("string"))]
+    elif isinstance(order_by, (list, tuple)):
+        order_cols = list(order_by) + [F.col(id_col)]
+    else:
+        order_cols = [order_by, F.col(id_col)]
     keyed = df.select(
         F.col(id_col).alias("doc_id"),
         tok.alias("tok"),
-        F.md5(F.col(id_col).cast("string")).alias("_key"),
+        F.struct(*order_cols).alias("_key"),
     )
     parts = [F.col("_key")]
     keyed = (

@@ -103,3 +103,22 @@ def test_assign_token_shards_deterministic_and_greedy(spark, tmp_path):
     )
     assert j.filter("s <> shard_id").count() == 0
     assert back.count() == 200
+
+
+def test_assign_token_shards_curriculum_order(spark):
+    """order_by replaces the md5 shuffle: ascending token count packs the
+    shortest documents into the earliest shards."""
+    from pyspark.sql import functions as F
+
+    from fineweb_legal_spark.sources.shards import assign_token_shards
+
+    d = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.expr("repeat('x ', CAST(4 + id * 4 AS INT))").alias("text"),
+    )
+    a = assign_token_shards(d, budget=500, order_by=F.length("text")).toPandas()
+    # doc ids were generated in increasing length order, so shard ids
+    # must be non-decreasing in doc_id
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    assert (a["shard_id"].diff().fillna(0) >= 0).all()
+    assert a["shard_id"].iloc[0] == 0 and a["shard_id"].iloc[-1] > 0
