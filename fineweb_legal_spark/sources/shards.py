@@ -75,6 +75,7 @@ def assign_token_shards(
     tok_col: str | None = None,
     num_partitions: int | None = None,
     order_by=None,
+    seed: str = "",
 ) -> DataFrame:
     """(doc_id, shard_id, start_tok): deterministic first-fit shard
     assignment over the md5(id)-shuffled corpus. ``tok_col`` overrides
@@ -94,7 +95,11 @@ def assign_token_shards(
         )
     ).cast("long")
     if order_by is None:
-        order_cols = [F.md5(F.col(id_col).cast("string"))]
+        # ``seed`` rotates the deterministic shuffle (distinct epoch
+        # orders that are each still a pure function of the corpus)
+        order_cols = [
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+        ]
     elif isinstance(order_by, (list, tuple)):
         order_cols = list(order_by) + [F.col(id_col)]
     else:
