@@ -1486,6 +1486,7 @@ def q_transcript_repairs_t2(spark, sf_dir):
     # window/aggregate plans over the conv_id partitioning.
     from fineweb_legal_spark.operators.repairs import (
         coerce_roles,
+        repair_protocol,
         truncate_conversation_tokens,
     )
 
@@ -1504,7 +1505,18 @@ def q_transcript_repairs_t2(spark, sf_dir):
         "text",
         F.col("cum_tok").alias("n"),
     )
-    return _tag(co, "coerce").unionByName(_tag(tr, "truncate"))
+    pr = repair_protocol(t).select(
+        "conv_id",
+        F.col("new_idx").alias("idx"),
+        "role",
+        "text",
+        F.col("orig_idx").cast("long").alias("n"),
+    )
+    return (
+        _tag(co, "coerce")
+        .unionByName(_tag(tr, "truncate"))
+        .unionByName(_tag(pr, "protocol"))
+    )
 
 
 def q_dedup_clusters_rollup_t1(spark, sf_dir):
@@ -3227,6 +3239,54 @@ def oracle_sql() -> dict[str, str]:
                              ROWS UNBOUNDED PRECEDING) AS cum
               FROM read_parquet('{ensure_transcripts("t2")}')
             ) WHERE cum <= 200
+            """,
+        ),
+        (
+            "protocol",
+            # independent window re-derivation of the three repair rules
+            f"""
+            WITH known AS (
+              SELECT conv_id, turn_idx, role, text
+              FROM read_parquet('{ensure_transcripts("t2")}')
+              WHERE role IN ('system', 'user', 'assistant', 'tool')
+            ), anchored AS (
+              SELECT * FROM (
+                SELECT conv_id, turn_idx, role, text,
+                       min(CASE WHEN role IN ('system', 'user')
+                                THEN turn_idx END)
+                         OVER (PARTITION BY conv_id) AS anchor
+                FROM known
+              ) WHERE turn_idx >= anchor
+            ), runs AS (
+              SELECT conv_id, turn_idx, role, text,
+                     CASE WHEN lag(turn_idx) OVER w IS NULL
+                            OR role <> lag(role) OVER w
+                          THEN 1 ELSE 0 END AS flag,
+                     lag(role) OVER w AS prev_role
+              FROM anchored
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), marked AS (
+              SELECT conv_id, turn_idx, role, text,
+                     sum(flag) OVER (PARTITION BY conv_id
+                                     ORDER BY turn_idx) AS run,
+                     CASE WHEN flag = 1 THEN prev_role END AS start_prev
+              FROM runs
+            ), kept AS (
+              SELECT conv_id, turn_idx, role, text
+              FROM (
+                SELECT conv_id, turn_idx, role, text,
+                       max(start_prev) OVER (PARTITION BY conv_id, run)
+                         AS prev_run_role
+                FROM marked
+              )
+              WHERE role <> 'tool' OR prev_run_role = 'assistant'
+            )
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id
+                                           ORDER BY turn_idx) - 1 AS INT)
+                     AS idx,
+                   role, text, CAST(turn_idx AS BIGINT) AS n
+            FROM kept
             """,
         ),
     )

@@ -89,6 +89,70 @@ def coerce_roles(
     )
 
 
+def repair_protocol(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop protocol-violating turns so transcripts satisfy the structure
+    checks (validation.transcript_structure_checks) — the repair
+    counterpart to validation:
+
+    1. unknown/null roles are dropped;
+    2. leading turns before the first 'system' or 'user' turn are dropped
+       (a conversation cannot open with an answer or a tool result);
+    3. a maximal run of consecutive 'tool' turns is kept only when the
+       run immediately follows an 'assistant' turn (tool results answer
+       tool CALLS); since two tool runs are never adjacent (maximality),
+       dropping one cannot invalidate another — the rules are one-pass,
+       no cascade, hence window-expressible in both engines;
+    4. survivors are renumbered densely (new_idx), original turn_idx
+       kept as provenance.
+
+    Pure JVM window plan on the conv_id partitioning."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wc = Window.partitionBy("conv_id")
+    t = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(turn_col).cast("int").alias("turn_idx"),
+        F.col(role_col).alias("role"),
+        F.col(text_col).alias("text"),
+    ).filter(F.col("role").isin("system", "user", "assistant", "tool"))
+    t = t.withColumn(
+        "_anchor",
+        F.min(
+            F.when(F.col("role").isin("system", "user"), F.col("turn_idx"))
+        ).over(wc),
+    ).filter(F.col("turn_idx") >= F.col("_anchor"))
+    t = t.withColumn(
+        "_flag",
+        F.when(F.lag("turn_idx").over(w).isNull(), F.lit(1)).otherwise(
+            (F.col("role") != F.lag("role").over(w)).cast("int")
+        ),
+    ).withColumn("_run", F.sum("_flag").over(w))
+    prev_run_role = F.max(
+        F.when(F.col("_flag") == 1, F.lag("role").over(w))
+    ).over(Window.partitionBy("conv_id", "_run"))
+    t = t.withColumn("_prev_run_role", prev_run_role).filter(
+        (F.col("role") != F.lit("tool"))
+        | (F.col("_prev_run_role") == F.lit("assistant"))
+    )
+    return t.select(
+        "conv_id",
+        (
+            F.row_number().over(
+                Window.partitionBy("conv_id").orderBy("turn_idx")
+            )
+            - 1
+        ).alias("new_idx"),
+        "role",
+        "text",
+        F.col("turn_idx").alias("orig_idx"),
+    )
+
+
 def truncate_conversation_tokens(
     df: DataFrame,
     budget: int,

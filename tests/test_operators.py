@@ -1743,3 +1743,40 @@ def test_cluster_representatives_quality_argmax(spark):
     }
     # argmax score, id-max tie-break: cluster a -> c (9, ties b), x -> y
     assert got == {"a": "c", "x": "y"}
+
+
+def test_repair_protocol_rules(spark):
+    from fineweb_legal_spark.operators.repairs import repair_protocol
+
+    rows = [
+        # leading assistant + tool dropped; tool run after assistant kept;
+        # tool run after user dropped
+        ("A", 0, "assistant", "hi"),
+        ("A", 1, "tool", "r0"),
+        ("A", 2, "user", "q"),
+        ("A", 3, "assistant", "a"),
+        ("A", 4, "tool", "r1"),
+        ("A", 5, "tool", "r2"),
+        ("A", 6, "user", "q2"),
+        ("A", 7, "tool", "orphan"),
+        ("A", 8, "assistant", "a2"),
+        # unknown role dropped; conversation with no user/system start
+        ("B", 0, "narrator", "x"),
+        ("B", 1, "tool", "y"),
+        ("B", 2, "assistant", "z"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = [
+        (r.conv_id, r.new_idx, r.role, r.orig_idx)
+        for r in repair_protocol(df).orderBy("conv_id", "new_idx").collect()
+    ]
+    assert got == [
+        ("A", 0, "user", 2),
+        ("A", 1, "assistant", 3),
+        ("A", 2, "tool", 4),
+        ("A", 3, "tool", 5),
+        ("A", 4, "user", 6),
+        ("A", 5, "assistant", 8),
+    ]
