@@ -860,3 +860,53 @@ def filter_repetition_fused(
     drop += [f"_top_cov_{n}" for n in thresholds]
     drop += [f"_dup_frac_{n}" for n in dup_thresholds]
     return prof.withColumn("rep_reject_reason", verdict).drop(*drop)
+
+
+def chunk_text(
+    df: DataFrame,
+    size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with optional
+    overlap (context-window prep for training/retrieval). Chunk i covers
+    [i*stride, i*stride + size) with stride = size - overlap; the last
+    chunk may be shorter; empty/null text yields no chunks.
+
+    Pure JVM: sequence + explode + substring — chunk COUNT per row is
+    computed natively, the explode is row-local (no shuffle at any
+    scale), and text bytes are touched exactly once at the substring.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    n_chunks = F.when(
+        F.length(text_col) > 0,
+        (F.floor((F.length(text_col) - 1) / stride) + 1).cast("int"),
+    ).otherwise(F.lit(0))
+    # drop a trailing chunk that would start past the end AND be fully
+    # contained in the previous one (starts >= len are impossible by the
+    # n_chunks formula except when overlap creates a start < len but the
+    # previous chunk already covers to len — keep those: they carry the
+    # overlap contract)
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_t"),
+            # sequence(0, -1) DESCENDS in Spark, so the empty case must be
+            # an explicit empty array, not an empty range
+            F.explode(
+                F.when(
+                    n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(
+                F.col("_t"), F.col("chunk_idx") * stride + 1, size
+            ).alias("chunk_text"),
+        )
+    )

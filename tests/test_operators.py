@@ -1780,3 +1780,48 @@ def test_repair_protocol_rules(spark):
         ("A", 4, "user", 6),
         ("A", 5, "assistant", 8),
     ]
+
+
+def test_chunk_text_overlap_and_edges(spark):
+    from fineweb_legal_spark.operators.textql import chunk_text
+
+    d = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "xy"), (3, ""), (4, None), (5, "abcd")],
+        "doc_id int, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in chunk_text(d, size=4, overlap=1).collect()
+    }
+    # stride 3: doc 1 -> [0:4],[3:7],[6:10],[9:10]; doc 5 len==size -> 2
+    # chunks (the second carries the trailing overlap window)
+    assert got == {
+        (1, 0): "abcd", (1, 1): "defg", (1, 2): "ghij", (1, 3): "j",
+        (2, 0): "xy",
+        (5, 0): "abcd", (5, 1): "d",
+    }
+    # no-overlap path: exact partition of the text
+    got2 = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in chunk_text(d, size=5).collect()
+    }
+    assert got2 == {(1, 0): "abcde", (1, 1): "fghij", (2, 0): "xy",
+                    (5, 0): "abcd"}
+    # pandas twin over random strings
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = [(i, "".join(rng.choice(list("abc "), rng.randint(0, 40))))
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    size, overlap, stride = 7, 2, 5
+    want = {}
+    for i, t in rows:
+        k = 0
+        while k * stride < len(t):
+            want[(i, k)] = t[k * stride: k * stride + size]
+            k += 1
+    got3 = {
+        (r.doc_id, r.chunk_idx): r.chunk_text
+        for r in chunk_text(df, size=size, overlap=overlap).collect()
+    }
+    assert got3 == want
