@@ -148,11 +148,14 @@ def write_token_shards(
     budget: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    **assign_kwargs,
 ) -> None:
     """Materialize the corpus as shard_id=N/ parquet directories (one
-    writer task per shard via an explicit shard repartition)."""
+    writer task per shard via an explicit shard repartition). Extra
+    keyword arguments (order_by, seed, ...) pass through to
+    assign_token_shards."""
     assignment = assign_token_shards(
-        df, budget, id_col=id_col, text_col=text_col
+        df, budget, id_col=id_col, text_col=text_col, **assign_kwargs
     ).select(F.col("doc_id").alias("_shard_doc_id"), "shard_id")
     (
         df.join(assignment, df[id_col] == F.col("_shard_doc_id"), "inner")
