@@ -1484,6 +1484,7 @@ def q_transcript_repairs_t2(spark, sf_dir):
     # longest turn prefix within a 200-estimated-token budget (idx = the
     # original turn_idx, n = the running token total). Both pure JVM
     # window/aggregate plans over the conv_id partitioning.
+    from fineweb_legal_spark.operators.pseudonymize import pseudonymize_pii
     from fineweb_legal_spark.operators.repairs import (
         coerce_roles,
         repair_protocol,
@@ -1512,10 +1513,21 @@ def q_transcript_repairs_t2(spark, sf_dir):
         "text",
         F.col("orig_idx").cast("long").alias("n"),
     )
+    # 'pseudo': stable per-conversation indexed PII placeholders
+    # (operators/pseudonymize.py); oracle = golden built by the
+    # single-node twin in tools/build_golden_misc.py
+    ps = pseudonymize_pii(t).select(
+        "conv_id",
+        F.col("turn_idx").alias("idx"),
+        "role",
+        "text",
+        F.col("n_pseudo").alias("n"),
+    )
     return (
         _tag(co, "coerce")
         .unionByName(_tag(tr, "truncate"))
         .unionByName(_tag(pr, "protocol"))
+        .unionByName(_tag(ps, "pseudo"))
     )
 
 
@@ -3287,6 +3299,17 @@ def oracle_sql() -> dict[str, str]:
                      AS idx,
                    role, text, CAST(turn_idx AS BIGINT) AS n
             FROM kept
+            """,
+        ),
+        (
+            "pseudo",
+            # golden built by the single-node twin (tools/build_golden_misc
+            # .py build_pseudonymize); Python-`re`-only semantics cannot run
+            # in DuckDB's RE2 (lookaround guards), same policy as the scrub
+            f"""
+            SELECT conv_id, CAST(turn_idx AS INT) AS idx, role, text,
+                   CAST(n_pseudo AS BIGINT) AS n
+            FROM read_parquet('{DATA_DIR}/golden/t2/pseudonymize.parquet')
             """,
         ),
     )

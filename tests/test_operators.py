@@ -1825,3 +1825,79 @@ def test_chunk_text_overlap_and_edges(spark):
         for r in chunk_text(df, size=size, overlap=overlap).collect()
     }
     assert got3 == want
+
+
+def test_pseudonymize_pii_stable_indices(spark):
+    from fineweb_legal_spark.operators.pseudonymize import pseudonymize_pii
+
+    rows = [
+        # case variants of one address share an index; new address gets 2
+        ("A", 0, "user", "mail me at Bob@Example.COM now"),
+        ("A", 1, "assistant", "cc bob@example.com and alice@x.org"),
+        # dashed SSN and the bare 9-digit run are the SAME identity
+        ("A", 2, "user", "ssn 123-45-6789 then bare 123456789"),
+        # three phone formats of one number share an index
+        ("A", 3, "user",
+         "call (555) 123-4567 or +1 555 123 4567 or 555.123.4567"),
+        ("A", 4, "tool", None),
+        # guard near-misses: version string, 13-digit ISBN
+        ("A", 5, "user", "v1.2.123-45-6789 and ISBN 9780306406157 stay"),
+        # numbering resets per conversation
+        ("B", 0, "user", "alice@x.org"),
+    ]
+    # out-of-order + repartitioned input: the kernel must sort by turn_idx
+    df = spark.createDataFrame(
+        rows[::-1], "conv_id string, turn_idx int, role string, text string"
+    ).repartition(7)
+    got = {
+        (r.conv_id, r.turn_idx): (r.text, r.n_pseudo)
+        for r in pseudonymize_pii(df).collect()
+    }
+    assert got == {
+        ("A", 0): ("mail me at [EMAIL_1] now", 1),
+        ("A", 1): ("cc [EMAIL_1] and [EMAIL_2]", 2),
+        ("A", 2): ("ssn [SSN_1] then bare [SSN_1]", 2),
+        ("A", 3): ("call [PHONE_1] or [PHONE_1] or [PHONE_1]", 3),
+        ("A", 4): (None, 0),
+        ("A", 5): ("v1.2.123-45-6789 and ISBN 9780306406157 stay", 0),
+        ("B", 0): ("[EMAIL_1]", 1),
+    }
+
+
+def test_pseudonymize_matches_scrub_coverage(spark):
+    """Anything the scrubber masks, pseudonymize replaces (same regexes,
+    same cascade order): on scrub-changed turns the pseudonymized text
+    must differ from the original wherever scrub differs."""
+    import pandas as pd
+
+    from fineweb_legal_spark.datasets import ensure_transcripts
+    from fineweb_legal_spark.operators.pseudonymize import (
+        pseudonymize_conversation,
+    )
+    from fineweb_legal_spark.scrub import scrub_text
+
+    t = pd.read_parquet(ensure_transcripts("t1")).head(4000)
+    texts = [None if pd.isna(x) else x for x in t["text"]]
+    pseudo, counts = pseudonymize_conversation(texts)
+    import re
+
+    strip_idx = re.compile(r"\[(EMAIL|SSN|PHONE)_\d+\]")
+    for orig, ps, n in zip(texts, pseudo, counts):
+        if orig is None:
+            continue
+        sc = scrub_text(orig)
+        # profanity is scrub-only; reverse it for the comparison
+        sc_no_prof = sc.replace("[CENSORED]", "")
+        ps_flat = strip_idx.sub("[X]", ps)
+        sc_flat = strip_idx.sub(
+            "[X]",
+            sc_no_prof.replace("[EMAIL]", "[EMAIL_0]")
+            .replace("[SSN]", "[SSN_0]")
+            .replace("[PHONE]", "[PHONE_0]"),
+        )
+        # same hit positions => same flattened text (modulo profanity)
+        from fineweb_legal_spark import spec
+
+        if not spec.PROFANITY_RE.search(orig):
+            assert ps_flat == sc_flat, orig[:120]
+        assert (n > 0) == (ps != orig)

@@ -28,7 +28,14 @@ import pyarrow.parquet as pq
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from fineweb_legal_spark.artifacts import get_artifacts  # noqa: E402
-from fineweb_legal_spark.datasets import DATA_DIR, ensure_media  # noqa: E402
+from fineweb_legal_spark.datasets import (  # noqa: E402
+    DATA_DIR,
+    ensure_media,
+    ensure_transcripts,
+)
+from fineweb_legal_spark.operators.pseudonymize import (  # noqa: E402
+    pseudonymize_conversation,
+)
 from fineweb_legal_spark.operators.similarity import (  # noqa: E402
     N_PLANES,
     planes_for,
@@ -104,6 +111,30 @@ def build_media(out: Path) -> None:
     pd.DataFrame(embs).to_parquet(out / "media_embeddings.parquet", index=False)
 
 
+def build_pseudonymize(out: Path) -> None:
+    """Single-node twin of operators/pseudonymize.pseudonymize_pii over the
+    t2 transcripts: plain pandas groupby in conv order, no Spark. Shares
+    the per-conversation kernel (the library-code caveat in this file's
+    docstring applies); hand-derived semantics fixtures live in
+    tests/test_operators.py."""
+    t = pq.read_table(ensure_transcripts("t2")).to_pandas()
+    t = t.sort_values(["conv_id", "turn_idx"], kind="stable")
+    rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [], "n_pseudo": []}
+    for conv_id, g in t.groupby("conv_id", sort=True):
+        texts, counts = pseudonymize_conversation(
+            [None if pd.isna(x) else x for x in g["text"]]
+        )
+        rows["conv_id"].extend([conv_id] * len(g))
+        rows["turn_idx"].extend(int(i) for i in g["turn_idx"])
+        rows["role"].extend(g["role"])
+        rows["text"].extend(texts)
+        rows["n_pseudo"].extend(counts)
+    df = pd.DataFrame(rows)
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+    df["n_pseudo"] = df["n_pseudo"].astype("int64")
+    df.to_parquet(out / "pseudonymize.parquet", index=False)
+
+
 def main() -> None:
     out = DATA_DIR / "golden" / "sf0.01"
     out.mkdir(parents=True, exist_ok=True)
@@ -112,7 +143,10 @@ def main() -> None:
     mout = DATA_DIR / "golden" / "media_t1"
     mout.mkdir(parents=True, exist_ok=True)
     build_media(mout)
-    print("goldens written to", out, "and", mout)
+    tout = DATA_DIR / "golden" / "t2"
+    tout.mkdir(parents=True, exist_ok=True)
+    build_pseudonymize(tout)
+    print("goldens written to", out, ",", mout, "and", tout)
 
 
 if __name__ == "__main__":
