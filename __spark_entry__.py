@@ -1248,12 +1248,56 @@ def _tag(df: DataFrame, tag: str) -> DataFrame:
     return df.select(F.lit(tag).alias("config"), "*")
 
 
+# Deterministic dirt for the web-cleanup evidence: the synthetic corpus is
+# clean, so BOTH engines wrap every document in the same HTML/entity/
+# mojibake/control/whitespace mess, then clean it — the hash gate compares
+# the full cleaned text, exercising every textclean rule on 5k docs. The
+# constants are shared with the oracle via _sql_str (control chars become
+# chr(n) terms so the SQL literal stays printable).
+_DIRT_PREFIX = (
+    '<html>\r\n<SCRIPT type="text/javascript">var x = 1 < 2;\n</SCRIPT>'
+    "<style>p {color:red}</style>"
+    '<p class="a">Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;s&nbsp;day'
+    " &amp;lt;keep&amp;gt;</p>\x07"
+    "â€œGreatâ€¦ donâ€™t â€“ stop â€” Ã©lanÂ\xa0\x0b  spaced\t\tout"
+    '\n\n\n\n\n<a href="/d/'
+)
+_DIRT_SUFFIX = "</a></html>"
+
+
+def _sql_str(s: str) -> str:
+    """DuckDB string literal for `s`: printable runs single-quoted ('' for
+    quotes), control chars as chr(n), joined with ||."""
+    parts: list[str] = []
+    buf = ""
+    for ch in s:
+        if ord(ch) < 32 or ord(ch) == 0x7F:
+            if buf:
+                parts.append("'" + buf.replace("'", "''") + "'")
+                buf = ""
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf += ch
+    if buf:
+        parts.append("'" + buf.replace("'", "''") + "'")
+    return " || ".join(parts) if parts else "''"
+
+
 def q_doc_transforms_docs(spark, sf_dir):
     # F14 derived columns + F16 token estimate + F15 word-boundary
-    # truncation: one per-doc projection (formerly three queries)
+    # truncation + web-text cleanup (textclean.py) over dirt-injected
+    # text: one per-doc projection (formerly three queries)
+    from fineweb_legal_spark.operators.textclean import clean_expr
     from fineweb_legal_spark.validation import word_boundary_truncate
 
     d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit(_DIRT_PREFIX),
+        F.col("doc_id").cast("string"),
+        F.lit('">'),
+        F.col("text"),
+        F.lit(_DIRT_SUFFIX),
+    )
     return word_boundary_truncate(d, "text", limit=120).select(
         "doc_id",
         F.length("text").alias("char_length"),
@@ -1262,6 +1306,10 @@ def q_doc_transforms_docs(spark, sf_dir):
         .cast("long")
         .alias("tok_est"),
         "truncated",
+        clean_expr(dirty).alias("clean_text"),
+        (F.length(dirty) - F.length(clean_expr(dirty)))
+        .cast("long")
+        .alias("clean_removed"),
     )
 
 
@@ -3364,11 +3412,24 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # wide single-pass frames: joins / flat aggregates over the variants
+    from fineweb_legal_spark.operators.textclean import oracle_clean_expr
+
+    _dirty_sql = (
+        f"{_sql_str(_DIRT_PREFIX)} || CAST(doc_id AS VARCHAR) || '\">'"
+        f" || text || {_sql_str(_DIRT_SUFFIX)}"
+    )
     o["doc_transforms_docs"] = f"""
-        SELECT d.doc_id, d.char_length, d.word_count, t.tok_est, r.truncated
+        SELECT d.doc_id, d.char_length, d.word_count, t.tok_est, r.truncated,
+               c.clean_text, c.clean_removed
         FROM ({b['derived_columns_docs']}) d
         JOIN ({b['token_estimate_docs']}) t USING (doc_id)
         JOIN ({b['truncate_docs']}) r ON r.doc_id = d.doc_id
+        JOIN (
+            SELECT doc_id, {oracle_clean_expr(_dirty_sql)} AS clean_text,
+                   length({_dirty_sql})
+                     - length({oracle_clean_expr(_dirty_sql)}) AS clean_removed
+            FROM documents
+        ) c ON c.doc_id = d.doc_id
     """
     o["corpus_totals_docs"] = (
         f"SELECT * FROM ({b['distinct_sources_docs']})"

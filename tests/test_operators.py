@@ -1901,3 +1901,78 @@ def test_pseudonymize_matches_scrub_coverage(spark):
         if not spec.PROFANITY_RE.search(orig):
             assert ps_flat == sc_flat, orig[:120]
         assert (n > 0) == (ps != orig)
+
+
+def test_clean_web_text_fixtures(spark):
+    from fineweb_legal_spark.operators.textclean import clean_web_text
+
+    rows = [
+        # tag strip inserts a space so words never fuse
+        (1, "a</p><p>b", "a b"),
+        # script blocks go wholly (case-insensitive, dotall, '<' in body)
+        (2, "<SCRIPT>var x = 1 < 2;\n</script>tail", "tail"),
+        # decode-once: &amp;lt; -> literal &lt;, never <
+        (
+            3,
+            "Tom &amp; Jerry &amp;lt;keep&amp;gt; &lt;3",
+            'Tom & Jerry &lt;keep&gt; <3',
+        ),
+        # mojibake table
+        (4, "donâ€™t â€” stop Ã©lan", "don’t — stop élan"),
+        # CRLF / CR -> LF; bell removed
+        (5, "a\r\nb\rc\x07d", "a\nb\ncd"),
+        # whitespace: runs collapse, 3+ newlines -> 2, edges trimmed
+        (6, "x   y\t\tz\n\n\n\n\nw  \n  v", "x y z\n\nw\nv"),
+        # unterminated tag survives (documented naive trade)
+        (7, "<div unterminated stays", "<div unterminated stays"),
+        # bare '<' in prose eats to the next '>' iff one exists
+        (8, "1 < 2 > 3", "1 3"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["clean_text_removed"])
+        for r in clean_web_text(df).collect()
+    }
+    for i, t, want in rows:
+        assert got[i][0] == want, f"doc {i}: {got[i][0]!r} != {want!r}"
+        assert got[i][1] == len(t) - len(want)
+
+
+def test_clean_web_text_duckdb_twin_parity(spark):
+    """The RE2 re-expression (oracle_clean_expr) must agree char-for-char
+    with the Spark chain on adversarial inputs."""
+    import duckdb
+
+    from fineweb_legal_spark.operators.textclean import (
+        clean_web_text,
+        oracle_clean_expr,
+    )
+
+    texts = [
+        "a</p><p>b",
+        "<SCRIPT a='>'>x</script>done",
+        "<style>p{}</style>text",
+        "Tom &amp; Jerry &amp;lt;k&amp;gt; &lt;3 &quot;q&quot; &#39;s&nbsp;d",
+        "donâ€™t â€“xâ€” â€œqâ€¦ Ã©Ã¨Ã¤Ã¶Ã¼Ã±Ã§ Â end",
+        "a\r\nb\rc\x07\x0b\x1fd\x7fe",
+        "x   y\t\tz\n\n\n\n\nw  \n  v  ",
+        "<div unterminated",
+        "1 < 2 > 3 < 4",
+        "it's an 'apostrophe' || pipe",
+        "",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["clean_text"] for r in clean_web_text(df).collect()
+    }
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        con.execute("CREATE OR REPLACE TABLE x AS SELECT ? AS text", [t])
+        want = con.execute(
+            f"SELECT {oracle_clean_expr('text')} FROM x"
+        ).fetchone()[0]
+        assert got[i] == want, f"text {i}: spark {got[i]!r} != duckdb {want!r}"
