@@ -175,12 +175,35 @@ def q_web_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_web_stage_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return stage_reject_counts(_webdocs(spark))
+    # deployed-cascade attribution counts + the independent rule co-trip
+    # matrix (the filter-tuning view first-trip attribution can't give),
+    # FUSED into one wide aggregate via audit.count_stack: one scan, one
+    # single-row-per-partition exchange — not a union of two aggregates
+    # that would scan the table twice at 100 TB. Unlike the old groupBy,
+    # zero-count stages now appear explicitly (audits want the zeros).
+    from fineweb_legal_spark.operators.audit import count_stack
+    from fineweb_legal_spark.operators.webfilter import (
+        web_reject_reason,
+        web_rule_flags,
+    )
+
+    docs = _webdocs(spark)
+    stage = F.coalesce(web_reject_reason(), F.lit("passed"))
+    flags = web_rule_flags()
+    counters = {
+        s: stage == s
+        for s in (*sorted(flags), "passed")
+    }
+    names = sorted(flags)
+    for i, a in enumerate(names):
+        for b in names[i:]:
+            counters[f"overlap:{a}|{b}"] = flags[a] & flags[b]
+    return count_stack(docs, counters, key_col="stage")
 
 
-def _web_filter_oracle_sql() -> str:
-    """DuckDB re-statement of the stage-1 cascade (independent of both the
-    Spark exprs and the pandas oracle)."""
+def _web_pred_sql() -> dict[str, str]:
+    """DuckDB predicate fragments over the d CTE columns — shared by the
+    cascade oracle and the rule-overlap oracle."""
     url_pred = " OR ".join(
         f"contains(u, '{p}')" for p in spec.NEWS_URL_PATTERNS
     )
@@ -202,6 +225,16 @@ def _web_filter_oracle_sql() -> str:
         p = p.replace("'", "''")
         cites.append(f"regexp_matches(cite, '{p}')")
     cite_pred = " OR ".join(cites)
+    return {
+        "url_pred": url_pred,
+        "boiler_head": boiler_head,
+        "boiler_tail": boiler_tail,
+        "kw_sum": kw_sum,
+        "cite_pred": cite_pred,
+    }
+
+
+def _web_d_cte() -> str:
     return f"""
 WITH d AS (
   SELECT id, text, url,
@@ -214,7 +247,61 @@ WITH d AS (
          lower(substr(text, 1, {spec.WEB_KEYWORD_WINDOW})) AS kw,
          substr(text, 1, {spec.WEB_CITATION_WINDOW}) AS cite
   FROM read_parquet('{_webdocs_sql_path()}')
-), r AS (
+)"""
+
+
+def _web_overlap_oracle_sql() -> str:
+    """Independent rule co-trip counts (the audit.rule_overlap twin).
+
+    NULL-text alignment with webfilter.web_rule_flags (both engines:
+    NULL text trips only 'length'): news_url never NULL (u coalesced);
+    boilerplate/citation coalesce their NULL-propagating predicates to
+    FALSE; keywords needs the explicit text IS NOT NULL guard because the
+    SQL CASE-sum collapses NULL contains() to 0, which would trip the
+    <min-keywords test where Spark's NULL indicator-sum does not."""
+    p = _web_pred_sql()
+    flags = {
+        "length": (
+            f"(text IS NULL OR n < {spec.WEB_MIN_CHARS}"
+            f" OR n > {spec.WEB_MAX_CHARS})"
+        ),
+        "news_url": f"({p['url_pred']})",
+        "boilerplate": (
+            f"coalesce(({p['boiler_head']})"
+            f" OR (tail <> '' AND ({p['boiler_tail']})), FALSE)"
+        ),
+        "keywords": (
+            f"(text IS NOT NULL"
+            f" AND ({p['kw_sum']}) < {spec.WEB_MIN_KEYWORDS})"
+        ),
+        "citation": f"coalesce(NOT ({p['cite_pred']}), FALSE)",
+    }
+    names = sorted(flags)
+    sums = ",\n".join(
+        f"count(*) FILTER (WHERE {flags[a]} AND {flags[b]})"
+        f' AS "overlap:{a}|{b}"'
+        for i, a in enumerate(names)
+        for b in names[i:]
+    )
+    return f"""
+        SELECT stage, docs FROM (
+            {_web_d_cte()}
+            SELECT {sums} FROM d
+        ) UNPIVOT (docs FOR stage IN (COLUMNS(*)))
+    """
+
+
+def _web_filter_oracle_sql() -> str:
+    """DuckDB re-statement of the stage-1 cascade (independent of both the
+    Spark exprs and the pandas oracle)."""
+    p = _web_pred_sql()
+    url_pred = p["url_pred"]
+    boiler_head = p["boiler_head"]
+    boiler_tail = p["boiler_tail"]
+    kw_sum = p["kw_sum"]
+    cite_pred = p["cite_pred"]
+    return f"""
+{_web_d_cte()}, r AS (
   SELECT id,
     CASE
       WHEN text IS NULL OR n < {spec.WEB_MIN_CHARS} OR n > {spec.WEB_MAX_CHARS} THEN 'length'
@@ -1331,6 +1418,12 @@ def q_sample_audit_docs(spark, sf_dir):
     return _tag(h, "hash1").unionByName(_tag(s, "strat5"))
 
 
+# Sweep grid for the splits_and_tiers 'sweep' config: plain-decimal
+# values whose Spark double->string cast equals the Python repr, so the
+# oracle can inline the literal key without any engine-side formatting.
+_SWEEP_THRESHOLDS = [10.0, 25.0, 50.0, 100.0, 250.0]
+
+
 def q_splits_and_tiers(spark, sf_dir):
     # split-assignment counts (documents) + F7/F8 tier threshold counts
     # (events) as one (config, key, n) frame
@@ -1364,7 +1457,18 @@ def q_splits_and_tiers(spark, sf_dir):
             F.col("n"),
         )
     )
-    return sp.unionByName(tiers).unionByName(shards)
+    # threshold sweep (operators/audit.py): kept-at->=t counts over the
+    # events score — one scan + a |T|-row exchange however big the corpus
+    from fineweb_legal_spark.operators.audit import threshold_sweep
+
+    sweep = threshold_sweep(
+        _t(spark, sf_dir, "events"), "value", _SWEEP_THRESHOLDS
+    ).select(
+        F.lit("sweep").alias("config"),
+        F.col("threshold").cast("string").alias("key"),
+        F.col("kept").alias("n"),
+    )
+    return sp.unionByName(tiers).unionByName(shards).unionByName(sweep)
 
 
 def q_topk_groups(spark, sf_dir):
@@ -1866,9 +1970,18 @@ def _oracle_base() -> dict[str, str]:
         """,
         "web_filter_verdicts": _web_filter_oracle_sql(),
         "web_stage_counts": f"""
-            WITH v AS ({_web_filter_oracle_sql()})
-            SELECT coalesce(reject_reason, 'passed') AS stage, count(*) AS docs
-            FROM v GROUP BY 1 ORDER BY 1
+            SELECT stage, docs FROM (
+                WITH v AS ({_web_filter_oracle_sql()})
+                SELECT {", ".join(
+                    f'''count(*) FILTER (WHERE coalesce(reject_reason,
+                        'passed') = '{s}') AS "{s}"'''
+                    for s in ("boilerplate", "citation", "keywords",
+                              "length", "news_url", "passed")
+                )}
+                FROM v
+            ) UNPIVOT (docs FOR stage IN (COLUMNS(*)))
+            UNION ALL
+            {_web_overlap_oracle_sql()}
         """,
         "length_filter_docs": """
             SELECT doc_id FROM documents
@@ -3402,6 +3515,12 @@ def oracle_sql() -> dict[str, str]:
           )
         ) GROUP BY shard_id
         """
+        + "\nUNION ALL\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT 'sweep' AS config, '{t}' AS key,"
+            f" count(*) FILTER (WHERE value >= {t}) AS n FROM events"
+            for t in _SWEEP_THRESHOLDS
+        )
     )
     o["topk_groups"] = (
         f"SELECT 'doc_sources' AS config, source AS key, docs"

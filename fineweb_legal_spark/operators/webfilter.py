@@ -55,7 +55,9 @@ def _citation_rx() -> str:
     return "|".join(f"(?:{p})" for p in parts)
 
 
-def web_reject_reason() -> Column:
+def _rule_preds() -> dict[str, Column]:
+    """The five stage-1 rule predicates, each independent of the others
+    (shared by the deployed cascade and the rule_overlap audit)."""
     text = F.col("text")
     n = F.length(text)
     url_lc = F.lower(F.coalesce(F.col("url"), F.lit("")))
@@ -66,15 +68,35 @@ def web_reject_reason() -> Column:
     boiler = _contains_any(head, spec.BOILERPLATE_PHRASES) | (
         (n > spec.WEB_BOILER_WINDOW) & _contains_any(tail, spec.BOILERPLATE_PHRASES)
     )
+    return {
+        "length": text.isNull() | (n < spec.WEB_MIN_CHARS) | (n > spec.WEB_MAX_CHARS),
+        "news_url": _contains_any(url_lc, spec.NEWS_URL_PATTERNS),
+        "boilerplate": boiler,
+        "keywords": _keyword_hits(kw_window) < spec.WEB_MIN_KEYWORDS,
+        "citation": ~cite_window.rlike(_citation_rx()),
+    }
+
+
+def web_rule_flags() -> dict[str, Column]:
+    """Independent (non-cascaded) trip booleans for rule_overlap audits —
+    a doc can trip several. NULL text trips only 'length': the text-window
+    predicates are NULL on NULL text and coalesce to false, identically in
+    the SQL oracle."""
+    preds = _rule_preds()
+    return {
+        name: p if name == "length" else F.coalesce(p, F.lit(False))
+        for name, p in preds.items()
+    }
+
+
+def web_reject_reason() -> Column:
+    p = _rule_preds()
     return (
-        F.when(
-            text.isNull() | (n < spec.WEB_MIN_CHARS) | (n > spec.WEB_MAX_CHARS),
-            F.lit("length"),
-        )
-        .when(_contains_any(url_lc, spec.NEWS_URL_PATTERNS), F.lit("news_url"))
-        .when(boiler, F.lit("boilerplate"))
-        .when(_keyword_hits(kw_window) < spec.WEB_MIN_KEYWORDS, F.lit("keywords"))
-        .when(~cite_window.rlike(_citation_rx()), F.lit("citation"))
+        F.when(p["length"], F.lit("length"))
+        .when(p["news_url"], F.lit("news_url"))
+        .when(p["boilerplate"], F.lit("boilerplate"))
+        .when(p["keywords"], F.lit("keywords"))
+        .when(p["citation"], F.lit("citation"))
     )
 
 

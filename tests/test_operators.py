@@ -1976,3 +1976,76 @@ def test_clean_web_text_duckdb_twin_parity(spark):
             f"SELECT {oracle_clean_expr('text')} FROM x"
         ).fetchone()[0]
         assert got[i] == want, f"text {i}: spark {got[i]!r} != duckdb {want!r}"
+
+
+def test_rule_overlap_counts(spark):
+    import pyspark.sql.functions as SF
+
+    from fineweb_legal_spark.operators.audit import rule_overlap
+
+    rows = [
+        # (a, b, c) independent trip flags
+        (True, True, False),
+        (True, False, False),
+        (False, True, True),
+        (True, True, True),
+        (False, False, False),
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    flags = {n: SF.col(n) for n in ("a", "b", "c")}
+    got = {
+        (r["rule_a"], r["rule_b"]): r["docs"]
+        for r in rule_overlap(df, flags).collect()
+    }
+    want = {}
+    names = ["a", "b", "c"]
+    for i, x in enumerate(names):
+        for y in names[i:]:
+            want[(x, y)] = sum(
+                1 for r in rows if r[names.index(x)] and r[names.index(y)]
+            )
+    assert got == want
+    # one aggregate pass: the physical plan has exactly one HashAggregate
+    # pair (partial+final) and no join
+    plan = rule_overlap(df, flags)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_threshold_sweep_matches_duckdb(spark):
+    import duckdb
+
+    from fineweb_legal_spark.operators.audit import threshold_sweep
+
+    scores = [0.5, 1.0, 2.5, None, 3.0, 3.0, 0.1, 7.0, None, 2.5]
+    ts = [0.5, 2.5, 5.0, 100.0]
+    df = spark.createDataFrame([(s,) for s in scores], "score double")
+    got = {
+        r["threshold"]: (r["kept"], r["keep_frac"])
+        for r in threshold_sweep(df, "score", ts).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE s AS SELECT * FROM (VALUES "
+        + ",".join(f"({s if s is not None else 'NULL'})" for s in scores)
+        + ") v(score)"
+    )
+    for t in ts:
+        kept, frac = con.execute(
+            f"SELECT count(*) FILTER (WHERE score >= {t}),"
+            f" round(count(*) FILTER (WHERE score >= {t})"
+            f" / CAST(count(*) AS DOUBLE), 6) FROM s"
+        ).fetchone()
+        assert got[t] == (kept, frac), (t, got[t], (kept, frac))
+
+
+def test_web_rule_flags_null_text_trips_only_length(spark):
+    from fineweb_legal_spark.operators.audit import rule_overlap
+    from fineweb_legal_spark.operators.webfilter import web_rule_flags
+
+    df = spark.createDataFrame([(1, None, None)], "id long, text string, url string")
+    got = {
+        (r["rule_a"], r["rule_b"]): r["docs"]
+        for r in rule_overlap(df, web_rule_flags()).collect()
+    }
+    assert got[("length", "length")] == 1
+    assert all(v == 0 for k, v in got.items() if k != ("length", "length"))
