@@ -181,3 +181,65 @@ def transcript_structure_checks(df: DataFrame) -> DataFrame:
         .select("r.check", "r.violations")
         .orderBy("check")
     )
+
+
+def keep_drop_f1(
+    pred: DataFrame,
+    gold: DataFrame,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    keep_col: str = "keep",
+    text_col: str = "scrubbed_text",
+) -> DataFrame:
+    """The north rule's acceptance metric, computed distributed: keep/drop
+    confusion matrix + F1 vs reference labels, plus exact scrubbed-text
+    agreement on the rows both sides keep — one key-partitioned full join
+    (so missing/extra rows are counted, not silently inner-joined away)
+    and one global aggregate. At 10^12 turns this is two key-hash
+    exchanges and a single-row reduce; nothing else moves.
+
+    Returns one row: turns, tp/fp/fn/tn, missing_pred/missing_gold,
+    text_match/text_mismatch (kept-by-both rows only), precision, recall,
+    f1, text_match_frac.
+    """
+    p = pred.select(
+        *keys,
+        F.col(keep_col).alias("p_keep"),
+        F.col(text_col).alias("p_text"),
+    )
+    g = gold.select(
+        *keys,
+        F.col(keep_col).alias("g_keep"),
+        F.col(text_col).alias("g_text"),
+    )
+    j = p.join(g, list(keys), "full")
+    both = F.col("p_keep").isNotNull() & F.col("g_keep").isNotNull()
+    pk = F.coalesce(F.col("p_keep"), F.lit(False))
+    gk = F.coalesce(F.col("g_keep"), F.lit(False))
+    cnt = lambda c: F.sum(c.cast("long"))  # noqa: E731
+    agg = j.agg(
+        F.count(F.lit(1)).alias("turns"),
+        cnt(both & pk & gk).alias("tp"),
+        cnt(both & pk & ~gk).alias("fp"),
+        cnt(both & ~pk & gk).alias("fn"),
+        cnt(both & ~pk & ~gk).alias("tn"),
+        cnt(F.col("p_keep").isNull()).alias("missing_pred"),
+        cnt(F.col("g_keep").isNull()).alias("missing_gold"),
+        cnt(
+            both & pk & gk & F.col("p_text").eqNullSafe(F.col("g_text"))
+        ).alias("text_match"),
+        cnt(
+            both & pk & gk & ~F.col("p_text").eqNullSafe(F.col("g_text"))
+        ).alias("text_mismatch"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        "*",
+        F.round(tp / F.greatest(tp + fp, F.lit(1)), 6).alias("precision"),
+        F.round(tp / F.greatest(tp + fn, F.lit(1)), 6).alias("recall"),
+        F.round(
+            (2 * tp) / F.greatest(2 * tp + fp + fn, F.lit(1)), 6
+        ).alias("f1"),
+        F.round(
+            F.col("text_match") / F.greatest(tp, F.lit(1)), 6
+        ).alias("text_match_frac"),
+    )

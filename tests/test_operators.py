@@ -2049,3 +2049,38 @@ def test_web_rule_flags_null_text_trips_only_length(spark):
     }
     assert got[("length", "length")] == 1
     assert all(v == 0 for k, v in got.items() if k != ("length", "length"))
+
+
+def test_keep_drop_f1_planted_confusion(spark):
+    from fineweb_legal_spark.validation import keep_drop_f1
+
+    gold = spark.createDataFrame(
+        [
+            ("c1", 0, True, "a"),
+            ("c1", 1, True, "b"),
+            ("c1", 2, False, None),
+            ("c2", 0, True, "d"),
+            ("c2", 1, False, None),
+            ("c2", 2, True, "f"),  # missing from pred
+        ],
+        "conv_id string, turn_idx int, keep boolean, scrubbed_text string",
+    )
+    pred = spark.createDataFrame(
+        [
+            ("c1", 0, True, "a"),     # tp, text match
+            ("c1", 1, False, None),   # fn
+            ("c1", 2, True, "c"),     # fp
+            ("c2", 0, True, "D"),     # tp, text MISMATCH
+            ("c2", 1, False, None),   # tn
+            ("c3", 0, True, "x"),     # extra row (missing_gold)
+        ],
+        "conv_id string, turn_idx int, keep boolean, scrubbed_text string",
+    )
+    r = keep_drop_f1(pred, gold).collect()[0]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 1)
+    assert (r["missing_pred"], r["missing_gold"]) == (1, 1)
+    assert (r["text_match"], r["text_mismatch"]) == (1, 1)
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == round(4 / 6, 6)
+    assert r["text_match_frac"] == 0.5
