@@ -56,3 +56,44 @@ def salted_join(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
     return salted.join(replicated, [key, _SALT], how).drop(_SALT)
+
+
+def skew_report(
+    df: DataFrame, key: str, top_k: int = 20, salt_target_rows: int = 1_000_000
+) -> DataFrame:
+    """Pre-flight skew diagnostics for a planned join/agg key: the
+    heaviest `top_k` keys with their share of the table and the salt
+    factor `salted_join` would need to spread each to ~`salt_target_rows`
+    rows per reducer. One groupBy(key) count (map-side combining makes
+    the exchange one row per key per partition) + a TakeOrdered top-k —
+    the same cost as the aggregation being planned, so running it first
+    is never the bottleneck. Quantiles of the group-size distribution
+    ride along via approx_percentile over the per-key counts.
+
+    Columns: key (string), rows, share (of table), suggested_salt,
+    p50_group / p99_group / max_group (identical on every row — the
+    distribution context for the listed heavy keys).
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+    dist = counts.agg(
+        F.sum("rows").alias("total"),
+        F.approx_percentile("rows", 0.5).alias("p50_group"),
+        F.approx_percentile("rows", 0.99).alias("p99_group"),
+        F.max("rows").alias("max_group"),
+    )
+    top = counts.orderBy(F.col("rows").desc(), "key").limit(top_k)
+    return top.crossJoin(F.broadcast(dist)).select(
+        "key",
+        "rows",
+        F.round(F.col("rows") / F.col("total"), 6).alias("share"),
+        F.greatest(
+            F.lit(1), F.ceil(F.col("rows") / F.lit(salt_target_rows))
+        )
+        .cast("int")
+        .alias("suggested_salt"),
+        "p50_group",
+        "p99_group",
+        "max_group",
+    )

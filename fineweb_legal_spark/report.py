@@ -1,0 +1,96 @@
+"""Corpus data card: one JSON-able health snapshot of a pipeline run —
+what a training-data team publishes next to the dataset (reference
+parity: the per-run counters in streaming.py's metrics plus the
+describe()-style stats in stats.py, consolidated into one artifact).
+
+Scale shape: the verdict frame is scanned THREE times — one wide
+aggregate for every fixed-domain counter and numeric total (kept/reject
+attribution via boolean sums, token estimates, text-length moments; the
+exchange is a single partial-sum row per partition), plus two tiny-key
+groupBys (lang mix, ppl histogram) whose exchanges carry at most
+|distinct key| rows per partition. At 10^12 turns you run this over the
+WRITTEN output table (one job, three column-pruned scans of two columns
+each), not over a recomputed pipeline; `jobs/run_report.py` does exactly
+that when given --input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# the pipeline's full first-trip attribution vocabulary (pipeline.py
+# heuristic_reason_col + model stage + dedup window)
+REJECT_REASONS = (
+    "length",
+    "conv_stats",
+    "word_stats",
+    "stopword_ratio",
+    "repetition",
+    "symbol_ratio",
+    "lang",
+    "perplexity",
+    "duplicate",
+)
+
+
+def corpus_report(verdicts: DataFrame) -> dict:
+    """Collect the data card for a verdict frame
+    (conv_id, turn_idx, keep, reject_reason, scrubbed_text, lang,
+    ppl_bucket). Returns a plain JSON-able dict."""
+    kept_len = F.when(F.col("keep"), F.length("scrubbed_text"))
+    wide = verdicts.agg(
+        F.count(F.lit(1)).alias("turns"),
+        F.approx_count_distinct("conv_id").alias("conversations_approx"),
+        F.sum(F.col("keep").cast("long")).alias("kept_turns"),
+        *[
+            F.sum((F.col("reject_reason") == r).cast("long")).alias(f"r_{r}")
+            for r in REJECT_REASONS
+        ],
+        F.sum(F.coalesce(kept_len, F.lit(0))).alias("kept_chars"),
+        # NOTE: greatest() skips NULLs in Spark, so the kept-guard must be
+        # OUTSIDE it — greatest(1, NULL) is 1, not NULL
+        F.sum(
+            F.when(
+                F.col("keep"), F.greatest(F.lit(1), F.floor(kept_len / 4))
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("kept_tok_est"),
+        F.round(F.avg(kept_len), 2).alias("kept_mean_chars"),
+    ).collect()[0]
+    langs = {
+        r["lang"]: r["n"]
+        for r in verdicts.filter(F.col("lang").isNotNull())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ppl = {
+        int(r["ppl_bucket"]): r["n"]
+        for r in verdicts.filter(F.col("ppl_bucket").isNotNull())
+        .groupBy("ppl_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    turns = wide["turns"]
+    rejects = {r: wide[f"r_{r}"] for r in REJECT_REASONS}
+    return {
+        "turns": turns,
+        "conversations_approx": wide["conversations_approx"],
+        "kept_turns": wide["kept_turns"],
+        "kept_frac": round(wide["kept_turns"] / turns, 6) if turns else None,
+        "rejects": {k: v for k, v in rejects.items() if v},
+        "reject_other": turns
+        - wide["kept_turns"]
+        - sum(rejects.values()),
+        "kept_chars": wide["kept_chars"],
+        "kept_tok_est": wide["kept_tok_est"],
+        "kept_mean_chars": (
+            float(wide["kept_mean_chars"])
+            if wide["kept_mean_chars"] is not None
+            else None
+        ),
+        "lang_mix": dict(sorted(langs.items())),
+        "ppl_histogram": dict(sorted(ppl.items())),
+    }

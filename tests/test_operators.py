@@ -2084,3 +2084,18 @@ def test_keep_drop_f1_planted_confusion(spark):
     assert r["recall"] == round(2 / 3, 6)
     assert r["f1"] == round(4 / 6, 6)
     assert r["text_match_frac"] == 0.5
+
+
+def test_skew_report_heavy_key(spark):
+    from fineweb_legal_spark.operators.skew import skew_report
+
+    rows = [("hot",)] * 60 + [("warm",)] * 25 + [(f"k{i}",) for i in range(15)]
+    df = spark.createDataFrame(rows, ["user"])
+    rep = skew_report(df, "user", top_k=2, salt_target_rows=10).collect()
+    assert [r["key"] for r in rep] == ["hot", "warm"]
+    hot = rep[0]
+    assert hot["rows"] == 60
+    assert hot["share"] == 0.6
+    assert hot["suggested_salt"] == 6
+    assert hot["max_group"] == 60
+    assert rep[1]["suggested_salt"] == 3

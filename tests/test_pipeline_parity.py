@@ -47,3 +47,38 @@ def test_stage_metrics_cover_all_rows(spark, t1_transcripts):
     m = stage_metrics(run_pipeline(spark, t1_transcripts)).toPandas()
     assert int(m["turns"].sum()) == t1_transcripts.count()
     assert "kept" in set(m["stage"])
+
+
+def test_corpus_report_matches_golden_pandas(spark, t1_golden):
+    """Data card totals recomputed single-node from the golden parquet."""
+    import numpy as np
+
+    from fineweb_legal_spark.datasets import ensure_transcripts
+    from fineweb_legal_spark.pipeline import run_pipeline
+    from fineweb_legal_spark.report import corpus_report
+
+    v = run_pipeline(
+        spark, spark.read.parquet(str(ensure_transcripts("t1")))
+    )
+    card = corpus_report(v)
+    g = t1_golden
+    assert card["turns"] == len(g)
+    assert card["kept_turns"] == int(g["keep"].sum())
+    assert card["kept_frac"] == round(g["keep"].mean(), 6)
+    want_rejects = g["reject_reason"].dropna().value_counts().to_dict()
+    assert card["rejects"] == want_rejects
+    assert card["reject_other"] == 0
+    kept = g[g["keep"]]
+    lens = kept["scrubbed_text"].str.len()
+    assert card["kept_chars"] == int(lens.sum())
+    assert card["kept_tok_est"] == int(
+        np.maximum(1, np.floor(lens / 4)).sum()
+    )
+    assert card["kept_mean_chars"] == round(float(lens.mean()), 2)
+    assert card["lang_mix"] == (
+        g["lang"].dropna().value_counts().sort_index().to_dict()
+    )
+    assert card["ppl_histogram"] == {
+        int(k): v
+        for k, v in g["ppl_bucket"].dropna().value_counts().sort_index().items()
+    }
