@@ -107,6 +107,19 @@ PICKS = {
         "Filter + 1-column projection: must show PushedFilters and a pruned "
         "ReadSchema at the parquet scan, zero shuffles."
     ),
+    "doc_transforms_docs": (
+        "Round 4: derived columns + truncation + the FULL web-text cleanup "
+        "chain (textclean.py: blocks/tags/entities/mojibake/controls/"
+        "whitespace) as ONE WholeStageCodegen Project directly over the "
+        "column-pruned scan - zero exchanges, zero UDFs; the dirt "
+        "injection + cleanup exist only inside the projection."
+    ),
+    "web_stage_counts": (
+        "Round 4: cascade attribution counts AND the 15-pair independent "
+        "rule-overlap matrix fused into one count_stack wide aggregate - "
+        "1 scan, 1 single-row-per-partition exchange, partial+final "
+        "HashAggregate; NOT a union of two aggregates scanning twice."
+    ),
     "text_analysis_docs": (
         "Round-4 consolidation shape: langid + quality + fingerprint + "
         "token counts in ONE scan — the native projections compute below "
