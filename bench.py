@@ -96,7 +96,7 @@ def _compact(result: dict) -> dict:
                 for kk in ("rows", "steady_sec", "turns_per_sec", "cpus")
                 if kk in sc[k]
             }
-    for k in ("efficiency", "measured_at", "cached"):
+    for k in ("efficiency", "same_window", "measured_at", "cached"):
         if k in sc:
             comp[k] = sc[k]
     out["scaling"] = comp
@@ -241,11 +241,43 @@ def _run_scaling() -> dict:
     return results
 
 
+def _same_window_stats(rounds: list) -> dict:
+    """Efficiency per adjacent (8, 32) round pair. The headline
+    `efficiency` pairs the best round per width ACROSS windows — a
+    conservative floor, since a fast-host-window 8-core round is divided
+    into a different window's 32-core round, measuring host drift on top
+    of plan scaling. Same-window pairs remove the drift term; report
+    best/median/n>=0.8 so both views are in the artifact."""
+    pairs = []
+    i = 0
+    while i + 1 < len(rounds):
+        a, b = rounds[i], rounds[i + 1]
+        if a.get("cpus") == 8 and b.get("cpus") == 32:
+            pairs.append(
+                round((b["turns_per_sec"] / a["turns_per_sec"]) / 4, 3)
+            )
+            i += 2
+        else:
+            i += 1
+    if not pairs:
+        return {}
+    mid = sorted(pairs)
+    return {
+        "pairs": len(pairs),
+        "best": max(pairs),
+        "median": round(mid[len(mid) // 2], 3),
+        "n_ge_0.8": sum(1 for p in pairs if p >= 0.8),
+    }
+
+
 def _cached_scaling() -> dict:
     if SCALING_CACHE.exists():
         try:
             out = json.loads(SCALING_CACHE.read_text())
             out["cached"] = True
+            sw = _same_window_stats(out.get("rounds") or [])
+            if sw:
+                out["same_window"] = sw
             return out
         except (OSError, json.JSONDecodeError):
             pass
