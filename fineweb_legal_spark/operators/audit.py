@@ -3,7 +3,10 @@ TUNING the pipeline, not just running it (reference parity: the repo's
 stage counters report what the deployed cascade did; these report what
 each rule would do independently and what a threshold change would do).
 
-Two operators, both one-aggregate-pass at any scale:
+Four operators, all one-aggregate-pass at any scale (`count_stack` is
+the shared fused-counter building block; `calibrate_threshold` inverts
+the sweep — target keep rate in, threshold out — via one
+approx_percentile sketch):
 
 - ``rule_overlap(df, flags)`` — pairwise co-trip counts for a set of
   independent boolean rule columns. The deployed cascade attributes each
@@ -108,3 +111,42 @@ def threshold_sweep(
         "kept",
         F.round(F.col("kept") / F.col("_total"), 6).alias("keep_frac"),
     )
+
+
+def calibrate_threshold(
+    df: DataFrame,
+    score_col: str,
+    target_keep_frac: float,
+    accuracy: int = 10_000,
+) -> float:
+    """The sweep's inverse: the score threshold that keeps approximately
+    `target_keep_frac` of rows (score >= threshold, NULLs never kept).
+    One approx_percentile aggregate — a single scan with a bounded-memory
+    sketch per partition, no sort, so calibration at 100 TB costs the
+    same as any count. `accuracy` is the percentile sketch's 1/epsilon
+    (default ~0.01% rank error).
+    """
+    if not 0.0 < target_keep_frac <= 1.0:
+        raise ValueError("target_keep_frac must be in (0, 1]")
+    row = df.agg(
+        F.approx_percentile(
+            score_col, F.lit(1.0 - target_keep_frac), F.lit(accuracy)
+        ).alias("t"),
+        F.sum(F.col(score_col).isNotNull().cast("long")).alias("nonnull"),
+        F.count(F.lit(1)).alias("total"),
+    ).collect()[0]
+    if row["t"] is None:
+        raise ValueError(f"no non-NULL {score_col} values to calibrate on")
+    # approx_percentile ranks over non-NULL scores only; if NULLs exist,
+    # re-express the target as a fraction of the non-NULL population so
+    # the kept fraction of the WHOLE table approaches the target (NULLs
+    # are never kept). Guarded: a target larger than the non-NULL share
+    # is unreachable — return the minimum score (keep every scored row).
+    if row["nonnull"] < row["total"]:
+        adj = min(1.0, target_keep_frac * row["total"] / row["nonnull"])
+        row = df.agg(
+            F.approx_percentile(
+                score_col, F.lit(1.0 - adj), F.lit(accuracy)
+            ).alias("t")
+        ).collect()[0]
+    return float(row["t"])

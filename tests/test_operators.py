@@ -2099,3 +2099,80 @@ def test_skew_report_heavy_key(spark):
     assert hot["suggested_salt"] == 6
     assert hot["max_group"] == 60
     assert rep[1]["suggested_salt"] == 3
+
+
+def test_calibrate_threshold_hits_target(spark):
+    from fineweb_legal_spark.operators.audit import (
+        calibrate_threshold,
+        threshold_sweep,
+    )
+
+    # 1000 distinct scores 1..1000 plus 250 NULLs: target fractions are
+    # over the WHOLE table, so NULLs force the adjusted-percentile path
+    rows = [(float(i),) for i in range(1, 1001)] + [(None,)] * 250
+    df = spark.createDataFrame(rows, "score double")
+    t = calibrate_threshold(df, "score", target_keep_frac=0.4)
+    kept = threshold_sweep(df, "score", [t]).collect()[0]
+    assert abs(kept["keep_frac"] - 0.4) < 0.01, (t, kept)
+    # unreachable target (> non-NULL share) degrades to keep-all-scored
+    t_all = calibrate_threshold(df, "score", target_keep_frac=1.0)
+    assert t_all <= 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        calibrate_threshold(df, "score", target_keep_frac=0.0)
+
+
+def test_sft_pairs_window_assembly(spark):
+    import duckdb
+
+    from fineweb_legal_spark.operators.sft import sft_pairs
+
+    rows = [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello"),
+        ("c1", 2, "user", None),
+        ("c1", 3, "assistant", "still here"),
+        ("c2", 0, "assistant", "cold open"),
+        ("c2", 1, "tool", "run"),
+        ("c2", 2, "assistant", "done"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["n_context"],
+            r["context"],
+            r["target"],
+        )
+        for r in sft_pairs(df, context_turns=2).collect()
+    }
+    assert got[("c1", 1)] == (1, "user: hi", "hello")
+    assert got[("c1", 3)] == (2, "assistant: hello\nuser: ", "still here")
+    assert got[("c2", 0)] == (0, "", "cold open")
+    assert got[("c2", 2)] == (2, "assistant: cold open\ntool: run", "done")
+    # DuckDB LAG twin over the same rows — independent window semantics
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(conv_id VARCHAR, turn_idx INT, role VARCHAR,"
+        " text VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    want = con.execute("""
+        WITH lines AS (
+          SELECT conv_id, turn_idx, role, text,
+                 coalesce(role,'') || ': ' || coalesce(text,'') AS line
+          FROM t
+        ), lagged AS (
+          SELECT conv_id, turn_idx, role, text,
+                 lag(line, 2) OVER w AS l2, lag(line, 1) OVER w AS l1
+          FROM lines
+          WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+        )
+        SELECT conv_id, turn_idx,
+               (l2 IS NOT NULL)::INT + (l1 IS NOT NULL)::INT AS n_context,
+               concat_ws(chr(10), l2, l1) AS context, text AS target
+        FROM lagged WHERE role = 'assistant'
+    """).fetchall()
+    assert {(c, i): (n, ctx, tg) for c, i, n, ctx, tg in want} == got
