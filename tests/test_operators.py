@@ -2176,3 +2176,49 @@ def test_sft_pairs_window_assembly(spark):
         FROM lagged WHERE role = 'assistant'
     """).fetchall()
     assert {(c, i): (n, ctx, tg) for c, i, n, ctx, tg in want} == got
+
+
+def test_domain_blocklist_parent_matching(spark):
+    from fineweb_legal_spark.operators.domains import (
+        domain_blocklist_filter,
+        domain_suffix_chain,
+        url_host,
+    )
+
+    urls = [
+        (1, "https://spam.example/x"),            # exact hit
+        (2, "http://cdn.a.spam.example:8080/y"),  # parent hit, port strip
+        (3, "https://notspam.example/z"),         # substring trap: clean
+        (4, "https://SPAM.Example./w"),           # case + trailing dot
+        (5, "https://fine.example/ok"),           # clean
+        (6, "not a url"),                         # no host: never blocked
+        (7, None),                                # NULL url
+        (8, "https://example/x"),                 # single-label host
+    ]
+    df = spark.createDataFrame(urls, "id long, url string")
+    bl = spark.createDataFrame(
+        [("spam.example",), ("blocked.tld",)], ["domain"]
+    )
+    for bcast in (True, False):
+        got = {
+            r["id"]: r["blocked"]
+            for r in domain_blocklist_filter(
+                df, bl, broadcast_list=bcast
+            ).collect()
+        }
+        assert got == {
+            1: True, 2: True, 3: False, 4: True,
+            5: False, 6: False, 7: False, 8: False,
+        }, (bcast, got)
+    chain = (
+        spark.range(1)
+        .select(domain_suffix_chain(F.lit("a.b.co")).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert chain == ["a.b.co", "b.co", "co"]
+    host = (
+        spark.range(1)
+        .select(url_host(F.lit("HTTPS://User@Host.Example.:443/p?q=1")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert host == "host.example"
