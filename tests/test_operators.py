@@ -2222,3 +2222,75 @@ def test_domain_blocklist_parent_matching(spark):
         .collect()[0]["h"]
     )
     assert host == "host.example"
+
+
+def test_agentstats_duckdb_twin(spark):
+    import datetime as dt
+
+    import duckdb
+
+    from fineweb_legal_spark.operators.agentstats import (
+        conversation_tool_profile,
+        tool_usage_stats,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        ("c1", 0, "user", "run search", None, s(0)),
+        ("c1", 1, "tool", "ok: 3 results", "search", s(2)),
+        ("c1", 2, "assistant", "found", None, s(3)),
+        ("c1", 3, "tool", "Timeout waiting", "search", s(33)),
+        ("c2", 0, "user", "calc", None, s(0)),
+        ("c2", 1, "tool", "Error: divide by zero", "calc", s(1)),
+        ("c2", 2, "tool", "7", "calc", None),      # NULL ts: no latency
+        ("c3", 0, "assistant", "no tools here", None, s(0)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string, ts timestamp",
+    )
+    got = {r["tool"]: r.asDict() for r in tool_usage_stats(df).collect()}
+    assert got["search"]["calls"] == 2
+    assert got["search"]["conversations"] == 1
+    assert got["search"]["error_frac"] == 0.5  # "Timeout waiting"
+    assert got["search"]["mean_latency_s"] == 16.0  # (2 + 30) / 2
+    assert got["search"]["max_latency_s"] == 30.0
+    assert got["calc"]["calls"] == 2
+    assert got["calc"]["error_frac"] == 0.5
+    assert got["calc"]["mean_latency_s"] == 1.0  # NULL-ts call drops out
+    prof = {
+        r["conv_id"]: r.asDict()
+        for r in conversation_tool_profile(df).collect()
+    }
+    assert prof["c1"]["tool_calls"] == 2 and prof["c1"]["tool_frac"] == 0.5
+    assert prof["c2"]["distinct_tools"] == 1
+    assert prof["c3"]["tool_calls"] == 0 and prof["c3"]["distinct_tools"] == 0
+    # DuckDB twin for the per-tool frame
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(conv_id VARCHAR, turn_idx INT, role VARCHAR,"
+        " text VARCHAR, tool VARCHAR, ts TIMESTAMP)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?,?,?)", rows)
+    want = con.execute("""
+        WITH lagged AS (
+          SELECT *, epoch(ts) - lag(epoch(ts)) OVER
+                 (PARTITION BY conv_id ORDER BY turn_idx) AS lat
+          FROM t
+        )
+        SELECT tool, count(*) AS calls,
+               count(DISTINCT conv_id) AS conversations,
+               round(avg((regexp_matches(text,
+                 '(?i)\\b(error|exception|traceback|failed|timeout)\\b'
+               ))::INT), 6) AS error_frac,
+               round(avg(lat), 3) AS mean_latency_s,
+               round(max(lat), 3) AS max_latency_s
+        FROM lagged WHERE role = 'tool' AND tool IS NOT NULL
+        GROUP BY tool ORDER BY tool
+    """).fetchdf().set_index("tool").to_dict("index")
+    for k, v in want.items():
+        for col in ("calls", "conversations", "error_frac",
+                    "mean_latency_s", "max_latency_s"):
+            assert float(got[k][col]) == float(v[col]), (k, col, got[k], v)
