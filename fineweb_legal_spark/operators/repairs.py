@@ -182,3 +182,26 @@ def truncate_conversation_tokens(
             F.col("_cum").alias("cum_tok"),
         )
     )
+
+
+def drop_retry_duplicates(df: DataFrame, renumber: bool = True) -> DataFrame:
+    """Drop consecutive turns that repeat the SAME role AND the SAME text
+    — the retry artifact (client resends, model regenerations committed
+    twice) that role-coalescing would otherwise concatenate into
+    'answer\\nanswer'. Run this BEFORE coerce_roles for that reason.
+
+    Keeps the FIRST turn of each identical run; comparison is null-safe
+    on both role and text (two consecutive NULL-text same-role turns are
+    a retry pair too). One conversation window (same conv_id exchange as
+    every repair), optional dense renumber preserving original order.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    dup = F.col("role").eqNullSafe(F.lag("role").over(w)) & F.col(
+        "text"
+    ).eqNullSafe(F.lag("text").over(w))
+    out = df.withColumn("_dup", dup).filter(~F.col("_dup")).drop("_dup")
+    if renumber:
+        out = out.withColumn(
+            "turn_idx", (F.row_number().over(w) - 1).cast("int")
+        )
+    return out

@@ -2294,3 +2294,33 @@ def test_agentstats_duckdb_twin(spark):
         for col in ("calls", "conversations", "error_frac",
                     "mean_latency_s", "max_latency_s"):
             assert float(got[k][col]) == float(v[col]), (k, col, got[k], v)
+
+
+def test_drop_retry_duplicates(spark):
+    from fineweb_legal_spark.operators.repairs import drop_retry_duplicates
+
+    rows = [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "yo"),
+        ("c1", 2, "assistant", "yo"),      # retry: drop
+        ("c1", 3, "assistant", "yo!"),     # same role, new text: keep
+        ("c1", 4, "user", "yo!"),          # same text, new role: keep
+        ("c2", 0, "tool", None),
+        ("c2", 1, "tool", None),           # null-safe retry pair: drop
+        ("c2", 2, "tool", "out"),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["role"], r["text"])
+        for r in drop_retry_duplicates(df).collect()
+    )
+    assert got == [
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "yo"),
+        ("c1", 2, "assistant", "yo!"),
+        ("c1", 3, "user", "yo!"),
+        ("c2", 0, "tool", None),
+        ("c2", 1, "tool", "out"),
+    ]
