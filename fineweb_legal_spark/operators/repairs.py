@@ -205,3 +205,31 @@ def drop_retry_duplicates(df: DataFrame, renumber: bool = True) -> DataFrame:
             "turn_idx", (F.row_number().over(w) - 1).cast("int")
         )
     return out
+
+
+def split_episodes(df: DataFrame, gap_s: int = 3600) -> DataFrame:
+    """Label every turn with `episode_idx`: a new episode starts when the
+    gap from the last TIMESTAMPED turn in the conversation exceeds
+    `gap_s` seconds (long-running agent sessions resume hours later; SFT
+    context and chunking should not cross that boundary — run this before
+    sft_pairs / chunk_text and group on (conv_id, episode_idx)).
+
+    NULL-ts turns never start an episode and never reset the gap clock:
+    the comparison baseline is last(ts IGNORE NULLS) over the preceding
+    frame, so a burst of untimestamped tool turns inherits the episode
+    and a later timestamped turn still measures from the last real
+    timestamp. One conversation window, running-sum labeling — the same
+    conv_id exchange as every repair."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cur = F.unix_timestamp("ts")
+    prev_known = F.last(cur, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flag = F.when(
+        prev_known.isNotNull() & cur.isNotNull() & (cur - prev_known > gap_s),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        "episode_idx",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"),
+    )

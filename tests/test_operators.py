@@ -2324,3 +2324,37 @@ def test_drop_retry_duplicates(spark):
         ("c2", 0, "tool", None),
         ("c2", 1, "tool", "out"),
     ]
+
+
+def test_split_episodes_gap_and_null_ts(spark):
+    import datetime as dt
+
+    from fineweb_legal_spark.operators.repairs import split_episodes
+
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        ("c1", 0, s(0)),
+        ("c1", 1, s(30)),
+        ("c1", 2, None),        # untimestamped: inherits episode 0
+        ("c1", 3, s(5000)),     # 4970s > 3600 from LAST KNOWN (t=30): new
+        ("c1", 4, s(5010)),
+        ("c1", 5, None),
+        ("c1", 6, s(99999)),    # new again
+        ("c2", 0, None),        # conversation with no leading ts
+        ("c2", 1, s(0)),
+        ("c2", 2, s(10)),
+    ]
+    df = spark.createDataFrame(
+        [(c, i, ts, "user", "x") for c, i, ts in rows],
+        "conv_id string, turn_idx int, ts timestamp, role string, text string",
+    )
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["episode_idx"]
+        for r in split_episodes(df).collect()
+    }
+    assert got == {
+        ("c1", 0): 0, ("c1", 1): 0, ("c1", 2): 0,
+        ("c1", 3): 1, ("c1", 4): 1, ("c1", 5): 1, ("c1", 6): 2,
+        ("c2", 0): 0, ("c2", 1): 0, ("c2", 2): 0,
+    }
