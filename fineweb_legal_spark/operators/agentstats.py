@@ -73,3 +73,36 @@ def conversation_tool_profile(df: DataFrame) -> DataFrame:
         ),
         F.round(F.sum(is_tool) / F.count(F.lit(1)), 6).alias("tool_frac"),
     )
+
+
+def lang_consistency(df: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Per-conversation language profile over a turn frame carrying a
+    language column (e.g. pipeline verdicts): majority_lang (ties broken
+    lexicographically — deterministic across engines), lang_turns (turns
+    with a non-NULL language), majority_frac of those, and n_langs. The
+    mixed-language-conversation filter is then a one-line predicate on
+    majority_frac / n_langs.
+
+    Shape: groupBy(conv_id, lang) count (map-side combining, slim
+    exchange) → max(struct) pick of the majority (no second window
+    shuffle: the (count, lang) struct max and the distinct-lang count
+    ride ONE groupBy(conv_id) over the tiny per-(conv, lang) frame)."""
+    per_lang = (
+        df.filter(F.col(lang_col).isNotNull())
+        .groupBy("conv_id", F.col(lang_col).alias("_lang"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # majority = min over (-count, lang): largest count wins, ties pick
+    # the lexicographically smallest language — deterministic across
+    # engines with no string tricks
+    pick = F.min(
+        F.struct((-F.col("_n")).alias("neg_n"), F.col("_lang").alias("lang"))
+    )
+    return per_lang.groupBy("conv_id").agg(
+        pick.getField("lang").alias("majority_lang"),
+        F.sum("_n").alias("lang_turns"),
+        F.round(-pick.getField("neg_n") / F.sum("_n"), 6).alias(
+            "majority_frac"
+        ),
+        F.count(F.lit(1)).alias("n_langs"),
+    )

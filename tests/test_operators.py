@@ -2358,3 +2358,48 @@ def test_split_episodes_gap_and_null_ts(spark):
         ("c1", 3): 1, ("c1", 4): 1, ("c1", 5): 1, ("c1", 6): 2,
         ("c2", 0): 0, ("c2", 1): 0, ("c2", 2): 0,
     }
+
+
+def test_lang_consistency_majority_and_ties(spark):
+    import duckdb
+
+    from fineweb_legal_spark.operators.agentstats import lang_consistency
+
+    rows = [
+        ("c1", "en"), ("c1", "en"), ("c1", "fr"), ("c1", None),
+        ("c2", "de"), ("c2", "es"),            # tie -> 'de' (lex smallest)
+        ("c3", "it"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, lang string")
+    got = {r["conv_id"]: r.asDict() for r in lang_consistency(df).collect()}
+    assert got["c1"]["majority_lang"] == "en"
+    assert got["c1"]["lang_turns"] == 3
+    assert got["c1"]["majority_frac"] == round(2 / 3, 6)
+    assert got["c1"]["n_langs"] == 2
+    assert got["c2"]["majority_lang"] == "de"
+    assert got["c2"]["majority_frac"] == 0.5
+    assert got["c3"] == {
+        "conv_id": "c3", "majority_lang": "it", "lang_turns": 1,
+        "majority_frac": 1.0, "n_langs": 1,
+    }
+    # DuckDB twin
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(conv_id VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    want = con.execute("""
+        WITH pl AS (
+          SELECT conv_id, lang, count(*) AS n FROM t
+          WHERE lang IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT conv_id,
+               min({'neg': -n, 'lang': lang}).lang AS majority_lang,
+               sum(n) AS lang_turns,
+               round(max(n) / CAST(sum(n) AS DOUBLE), 6) AS majority_frac,
+               count(*) AS n_langs
+        FROM pl GROUP BY conv_id
+    """).fetchdf().set_index("conv_id").to_dict("index")
+    for k, v in want.items():
+        assert got[k]["majority_lang"] == v["majority_lang"]
+        assert got[k]["lang_turns"] == v["lang_turns"]
+        assert float(got[k]["majority_frac"]) == float(v["majority_frac"])
+        assert got[k]["n_langs"] == v["n_langs"]
