@@ -910,3 +910,65 @@ def chunk_text(
             ).alias("chunk_text"),
         )
     )
+
+
+def blob_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gibberish / binary-blob quality signals per document:
+
+    - ``base64_frac`` / ``hex_frac``: fraction of characters inside long
+      base64-ish (>= 48 chars of [A-Za-z0-9+/=]) or hex-ish (>= 32 chars
+      of [0-9a-fA-F]) runs — inlined keys, data-URI payloads, and dumps
+      that length/word heuristics miss. Pure JVM: regexp_extract_all +
+      an aggregate HOF summing match lengths (runs once per match list,
+      not per char; CodegenFallback on this Spark but still JVM-side).
+    - ``char_entropy``: Shannon entropy in bits/byte over the UTF-8
+      encoding, a vectorized-numpy Pandas UDF (bincount per string —
+      per-string Python like the MinHash shingler, the documented
+      category for inherently per-string kernels). English prose sits
+      ~4.1-4.7; base64 blobs ~6; repeated filler < 3.5.
+
+    NULL text yields NULL signals (never 0 — absence, not cleanliness).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _entropy(s: pd.Series) -> pd.Series:
+        out = np.full(len(s), np.nan)
+        for i, t in enumerate(s):
+            if t is None:
+                continue
+            b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+            if len(b) == 0:
+                out[i] = 0.0
+                continue
+            counts = np.bincount(b, minlength=256)
+            p = counts[counts > 0] / len(b)
+            out[i] = float(-(p * np.log2(p)).sum())
+        return pd.Series(out)
+
+    text = F.col(text_col)
+
+    def run_frac(rx: str) -> Column:
+        matched = F.aggregate(
+            F.regexp_extract_all(text, F.lit(rx), F.lit(0)),
+            F.lit(0),
+            lambda acc, m: acc + F.length(m),
+        )
+        return F.when(
+            text.isNotNull(),
+            F.round(
+                matched / F.greatest(F.length(text), F.lit(1)), 6
+            ),
+        )
+
+    return df.withColumns(
+        {
+            "base64_frac": run_frac(r"[A-Za-z0-9+/=]{48,}"),
+            "hex_frac": run_frac(r"[0-9a-fA-F]{32,}"),
+            "char_entropy": F.when(
+                text.isNotNull(), F.round(_entropy(text), 4)
+            ),
+        }
+    )

@@ -2403,3 +2403,41 @@ def test_lang_consistency_majority_and_ties(spark):
         assert got[k]["lang_turns"] == v["lang_turns"]
         assert float(got[k]["majority_frac"]) == float(v["majority_frac"])
         assert got[k]["n_langs"] == v["n_langs"]
+
+
+def test_blob_signals_planted(spark):
+    import math
+
+    from fineweb_legal_spark.operators.textql import blob_signals
+
+    b64 = "QUJDREVGR0hJSktMTU5PUFFSU1RVVldYWVphYmNkZWZnaGlqa2xtbm9w"  # 56
+    hx = "deadbeef" * 5  # 40 hex chars
+    rows = [
+        (1, "plain english text with no blobs at all here"),
+        (2, f"key: {b64} trailing"),
+        (3, f"hash {hx} end"),
+        (4, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),  # low entropy; 32 hex-ish 'a's
+        (5, None),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in blob_signals(df).collect()}
+    assert got[1]["base64_frac"] == 0.0 and got[1]["hex_frac"] == 0.0
+    assert got[2]["base64_frac"] == round(len(b64) / len(rows[1][1]), 6)
+    assert got[3]["hex_frac"] == round(len(hx) / len(rows[2][1]), 6)
+    # 'a'*32 is ALSO a 32-char hex run — the documented trade of a
+    # character-class detector; entropy separates it (0 bits)
+    assert got[4]["hex_frac"] == 1.0
+    assert got[4]["char_entropy"] == 0.0
+    assert got[5]["base64_frac"] is None and got[5]["char_entropy"] is None
+    assert got[6]["char_entropy"] == 0.0
+    # entropy spot-check vs a hand computation
+    t = rows[0][1]
+    b = t.encode()
+    from collections import Counter
+
+    want = -sum(
+        (c / len(b)) * math.log2(c / len(b)) for c in Counter(b).values()
+    )
+    assert abs(got[1]["char_entropy"] - round(want, 4)) < 1e-9
+    assert got[2]["char_entropy"] > got[4]["char_entropy"]
