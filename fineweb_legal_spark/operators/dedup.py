@@ -256,3 +256,41 @@ def exact_jaccard_pairs(df: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def cross_neardup_pairs(
+    new: DataFrame, existing: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Incremental-ingest dedup: near-dup pairs BETWEEN a new batch and
+    an existing corpus only (a new crawl against what's already kept —
+    the FineWeb cross-dump case), never within either side. Returns
+    (id_new, id_old, jaccard) verified at the exact-shingle threshold.
+
+    Same LSH machinery as minhash_neardup_pairs, but the band equi-join
+    is new-side against old-side directly — candidate volume is
+    O(new x bands) + cross collisions, so a small daily batch against a
+    10^9-doc corpus never pays the corpus' self-join. At steady state
+    the old side's band table is worth persisting as a table (bands are
+    a pure function of text) and this becomes one broadcast- or
+    shuffle-join of the small new band set against it; that contract is
+    why bands carry no run-specific state.
+    """
+    n = new.select(F.col("id").cast("string"), "text")
+    e = existing.select(F.col("id").cast("string"), "text")
+    nb = n.mapInPandas(_minhash_bands_fn, schema=_BAND_SCHEMA).alias("n")
+    eb = e.mapInPandas(_minhash_bands_fn, schema=_BAND_SCHEMA).alias("e")
+    cand = (
+        nb.join(eb, ["band", "band_hash"])
+        .select(F.col("n.id").alias("id_a"), F.col("e.id").alias("id_b"))
+        .distinct()
+    )
+    withtext = cand.join(
+        n.select(F.col("id").alias("id_a"), F.col("text").alias("text_a")),
+        "id_a",
+    ).join(
+        e.select(F.col("id").alias("id_b"), F.col("text").alias("text_b")),
+        "id_b",
+    )
+    return withtext.mapInPandas(
+        _verify_fn(threshold), schema=_VERIFY_SCHEMA
+    ).withColumnsRenamed({"id_a": "id_new", "id_b": "id_old"})

@@ -2441,3 +2441,28 @@ def test_blob_signals_planted(spark):
     )
     assert abs(got[1]["char_entropy"] - round(want, 4)) < 1e-9
     assert got[2]["char_entropy"] > got[4]["char_entropy"]
+
+
+def test_cross_neardup_only_cross_pairs(spark):
+    from fineweb_legal_spark.operators.dedup import cross_neardup_pairs
+
+    base = (
+        "the committee reviewed the proposal and agreed to fund the "
+        "project for another year with careful review of the plan "
+    ) * 3
+    rows_new = [
+        ("n1", base + "tail one"),
+        ("n2", base + "tail one"),      # near-dups each other: NOT a pair
+        ("n3", "completely different words about gardens and rivers " * 6),
+    ]
+    rows_old = [
+        ("o1", base + "tail one?"),     # near-dup of n1/n2
+        ("o2", "another unrelated existing document about music " * 6),
+    ]
+    new = spark.createDataFrame(rows_new, ["id", "text"])
+    old = spark.createDataFrame(rows_old, ["id", "text"])
+    got = {
+        (r["id_new"], r["id_old"])
+        for r in cross_neardup_pairs(new, old, threshold=0.8).collect()
+    }
+    assert got == {("n1", "o1"), ("n2", "o1")}
