@@ -299,3 +299,37 @@ def keep_top_fraction(
         .filter(F.col(score_col) >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def calibration_curve(
+    df: DataFrame,
+    prob_col: str = "quality_prob",
+    label_col: str = "label",
+    bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram input for a trained scorer: rows bucketed by
+    predicted probability into `bins` equal-width bins over [0, 1],
+    per-bin (n, mean_prob, frac_pos). A well-calibrated classifier has
+    mean_prob ≈ frac_pos per bin; the curve decides whether
+    keep_top_fraction's threshold means what the probability claims.
+
+    One groupBy over a codegen'd bin expression — the exchange carries
+    at most `bins` rows per partition. prob exactly 1.0 lands in the top
+    bin (clamped), NULL prob/label rows are excluded (reported via the
+    n_excluded row with bin = -1 so the audit never silently shrinks).
+    """
+    p = F.col(prob_col)
+    y = F.col(label_col).cast("double")
+    ok = p.isNotNull() & y.isNotNull()
+    bin_ = F.when(
+        ok, F.least(F.floor(p * bins).cast("int"), F.lit(bins - 1))
+    ).otherwise(F.lit(-1))
+    return (
+        df.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(F.when(ok, p)), 6).alias("mean_prob"),
+            F.round(F.avg(F.when(ok, y)), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )

@@ -2466,3 +2466,22 @@ def test_cross_neardup_only_cross_pairs(spark):
         for r in cross_neardup_pairs(new, old, threshold=0.8).collect()
     }
     assert got == {("n1", "o1"), ("n2", "o1")}
+
+
+def test_calibration_curve_bins_and_exclusions(spark):
+    from fineweb_legal_spark.operators.classifier import calibration_curve
+
+    rows = [
+        (0.05, 0), (0.08, 0),            # bin 0
+        (0.55, 1), (0.52, 0),            # bin 5
+        (1.0, 1),                        # exactly 1.0 -> top bin (9)
+        (None, 1), (0.4, None),          # excluded -> bin -1
+    ]
+    df = spark.createDataFrame(rows, "quality_prob double, label int")
+    got = {r["bin"]: r.asDict() for r in calibration_curve(df).collect()}
+    assert got[0]["n"] == 2 and got[0]["frac_pos"] == 0.0
+    assert got[0]["mean_prob"] == round((0.05 + 0.08) / 2, 6)
+    assert got[5]["n"] == 2 and got[5]["frac_pos"] == 0.5
+    assert got[9]["n"] == 1 and got[9]["frac_pos"] == 1.0
+    assert got[-1]["n"] == 2
+    assert got[-1]["mean_prob"] is None or got[-1]["mean_prob"] == 0.4
