@@ -186,28 +186,30 @@ def bloom_might_contain(
 ) -> DataFrame:
     """Append a boolean `out_col`: False only when the key is DEFINITELY
     not in the built set (null keys probe True — the exact join decides
-    them; see module doc)."""
+    them; see module doc).
+
+    The probe is a SCALAR pandas_udf over the JVM-computed xxhash64
+    column alone: only 8 bytes/row cross the Arrow boundary (plus the
+    returned bool) — text and payload columns never leave the JVM. The
+    first formulation (mapInPandas over the whole row) round-tripped
+    every column through Python and measurably slowed the 2M-turn smoke
+    bench; the column-slim probe is why the prefilter is ~free locally."""
     sc = df.sparkSession.sparkContext
     b = sc.broadcast(bloom.bitmap.tobytes())
     n_bits, k = bloom.n_bits, bloom.k
-    hashed = df.withColumn("_h", F.xxhash64(key_col)).withColumn(
-        "_null", F.col(key_col).isNull()
-    )
-    schema = T.StructType(
-        hashed.schema.fields + [T.StructField(out_col, T.BooleanType())]
-    )
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    @F.pandas_udf(T.BooleanType())
+    def probe(h: pd.Series) -> pd.Series:
         bf = BloomFilter(
             n_bits=n_bits, k=k, bitmap=np.frombuffer(b.value, dtype=np.uint8)
         )
-        for pdf in batches:
-            might = bf.might_contain(pdf["_h"].to_numpy(dtype=np.int64))
-            pdf[out_col] = might | pdf["_null"].to_numpy(dtype=bool)
-            yield pdf
+        return pd.Series(bf.might_contain(h.to_numpy(dtype=np.int64)))
 
-    return (
-        hashed.mapInPandas(fn, schema=schema).drop("_h", "_null")
+    return df.withColumn(
+        out_col,
+        F.when(F.col(key_col).isNull(), F.lit(True)).otherwise(
+            probe(F.xxhash64(key_col))
+        ),
     )
 
 
