@@ -59,6 +59,7 @@ from pyspark.sql import types as T
 __all__ = [
     "BloomFilter",
     "build_bloom",
+    "empty_bloom",
     "bloom_might_contain",
     "bloom_filtered_antijoin",
     "save_bloom",
@@ -88,6 +89,25 @@ class BloomFilter:
             ok &= (self.bitmap[(pos >> np.uint64(3)).astype(np.int64)]
                    >> (pos & np.uint64(7)).astype(np.uint8)) & 1 == 1
         return ok
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """OR a batch of xxhash64 values into the (mutable) bitmap — the
+        incremental-maintenance path for a registry that grows per
+        micro-batch. Idempotent (set semantics), so a replayed batch
+        re-adding its keys is harmless."""
+        pos = _positions(hashes.astype(np.uint64, copy=False), self.k, self.n_bits)
+        np.bitwise_or.at(
+            self.bitmap,
+            (pos >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8)),
+        )
+
+    def saturation(self) -> float:
+        """Fraction of set bits. The false-positive rate is
+        saturation^k; past ~0.5 (the design point at capacity) the filter
+        is over capacity — rebuild with a larger `expected` (offline,
+        like registry compaction)."""
+        return float(np.unpackbits(self.bitmap).mean())
 
 
 def _params(expected: int, fpp: float) -> tuple[int, int]:
@@ -178,6 +198,13 @@ def build_bloom(
     return BloomFilter(n_bits=n_bits, k=k, bitmap=bitmap)
 
 
+def empty_bloom(expected: int, fpp: float = 0.01) -> BloomFilter:
+    """A zeroed filter sized for `expected` keys — the seed for
+    incremental maintenance (`add_hashes`) when no keys exist yet."""
+    n_bits, k = _params(expected, fpp)
+    return BloomFilter(n_bits=n_bits, k=k, bitmap=np.zeros(n_bits // 8, dtype=np.uint8))
+
+
 _PROBE_FIELD = "_bloom_might"
 
 
@@ -220,6 +247,7 @@ def bloom_filtered_antijoin(
     bloom: BloomFilter | None = None,
     fpp: float = 0.01,
     expected: int | None = None,
+    survivors_broadcast: bool = False,
 ) -> DataFrame:
     """EXACT left anti-join of `new` against `registry` on `key_col`,
     with the Bloom prefilter supplying the semi-join reduction: rows the
@@ -230,15 +258,30 @@ def bloom_filtered_antijoin(
     true-duplicate volume + fpp instead of the whole slice.
 
     Pass a prebuilt ``bloom`` (e.g. loaded via `load_bloom` from the last
-    registry publish) to keep the call action-free."""
+    registry publish) to keep the call action-free.
+
+    ``survivors_broadcast=True`` additionally keeps the REGISTRY out of
+    the exchange — the streaming-ingest shape, where the registry is
+    10^12 keys and the post-bloom survivor set is micro-batch-sized:
+    the survivors' distinct keys broadcast into a semi-join that reduces
+    the registry to its matching keys (a column-pruned scan, zero
+    registry shuffle), and that match set — bounded by the survivor
+    count — broadcasts back into the exact anti-join. Both broadcasts
+    are survivor-sized; leave it False when the new side is large
+    relative to executor memory (the batch-ingest shape), where the
+    shuffled anti-join is right."""
     if bloom is None:
         bloom = build_bloom(registry, key_col, expected=expected, fpp=fpp)
     flagged = bloom_might_contain(new, key_col, bloom)
     definitely_new = flagged.filter(~F.col(_PROBE_FIELD)).drop(_PROBE_FIELD)
     survivors = flagged.filter(F.col(_PROBE_FIELD)).drop(_PROBE_FIELD)
-    checked = survivors.join(
-        registry.select(key_col).distinct(), key_col, "left_anti"
-    )
+    reg_keys = registry.select(key_col)
+    if survivors_broadcast:
+        skeys = survivors.select(key_col).distinct()
+        matches = reg_keys.join(F.broadcast(skeys), key_col, "left_semi").distinct()
+        checked = survivors.join(F.broadcast(matches), key_col, "left_anti")
+    else:
+        checked = survivors.join(reg_keys.distinct(), key_col, "left_anti")
     return definitely_new.unionByName(checked)
 
 

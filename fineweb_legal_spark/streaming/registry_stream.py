@@ -151,7 +151,12 @@ def compact_registry(
     return removed
 
 
-def _commit_batch(out_dir: str, registry_dir: str, run_base: int):
+def _commit_batch(
+    out_dir: str,
+    registry_dir: str,
+    run_base: int,
+    bloom_state: dict | None = None,
+):
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         sid = run_base + batch_id
@@ -177,7 +182,36 @@ def _commit_batch(out_dir: str, registry_dir: str, run_base: int):
         )
         if reg_files:
             registry = spark.read.parquet(*reg_files).select("norm_key")
-            kept = kept.join(registry, "norm_key", "left_anti")
+            if bloom_state is not None:
+                # Bloom acceleration (module docstring "Scale notes"):
+                # the driver-held filter covers every committed slice
+                # (built at stream start, grown after each commit), so
+                # definitely-new rows skip the join and the registry is
+                # reduced by broadcast semi-join instead of shuffled.
+                # Correctness needs only bloom ⊇ anti-joined slices —
+                # extra keys (a failed attempt's own slice after driver
+                # restart) just route rows into the exact join.
+                from fineweb_legal_spark.operators.bloom import (
+                    bloom_filtered_antijoin,
+                    build_bloom,
+                )
+
+                if "filter" not in bloom_state:
+                    bloom_state["filter"] = build_bloom(
+                        registry,
+                        "norm_key",
+                        expected=bloom_state["expected"],
+                        fpp=bloom_state["fpp"],
+                    )
+                kept = bloom_filtered_antijoin(
+                    kept,
+                    registry,
+                    "norm_key",
+                    bloom=bloom_state["filter"],
+                    survivors_broadcast=True,
+                )
+            else:
+                kept = kept.join(registry, "norm_key", "left_anti")
 
         # deterministic slice-addressed writes -> replay-idempotent
         kept = kept.persist()
@@ -209,6 +243,32 @@ def _commit_batch(out_dir: str, registry_dir: str, run_base: int):
                 part = next(Path(tmp).glob("part-*.parquet"))
                 part.replace(final)
             shutil.rmtree(tmp, ignore_errors=True)
+            if bloom_state is not None:
+                # grow the filter with this batch's committed keys. The
+                # collect is micro-batch-sized (the same assumption as
+                # the coalesce(1) slice publish above); add_hashes is
+                # idempotent, so a replay re-adding is harmless, and a
+                # crash before this line just means the restart rebuilds
+                # the filter from the files.
+                from fineweb_legal_spark.operators.bloom import empty_bloom
+
+                if "filter" not in bloom_state:
+                    bloom_state["filter"] = empty_bloom(
+                        bloom_state["expected"], bloom_state["fpp"]
+                    )
+                import numpy as np
+
+                h = np.array(
+                    [
+                        r.h
+                        for r in kept.select(
+                            F.xxhash64("norm_key").alias("h")
+                        ).collect()
+                    ],
+                    dtype=np.int64,
+                )
+                if len(h):
+                    bloom_state["filter"].add_hashes(h)
         finally:
             kept.unpersist()
 
@@ -222,16 +282,33 @@ def start_registry_filter_stream(
     checkpoint_dir: str,
     registry_dir: str,
     available_now: bool = True,
+    bloom_fpp: float | None = None,
+    bloom_expected: int = 1_000_000,
 ):
     """Filter + scrub + registry dedup; kept turns land under
     ``out_dir/batch=<slice id>/`` with the norm-key registry growing under
     ``registry_dir`` — global dedup with no state-store eviction, across
-    restarts AND across fresh-checkpoint re-runs over the same registry."""
+    restarts AND across fresh-checkpoint re-runs over the same registry.
+
+    ``bloom_fpp`` (None = off) enables the Bloom accelerator: a
+    driver-held filter of every committed registry key (built once at the
+    first non-empty anti-join, grown per commit, rebuilt from the files
+    on restart) prefilters each batch so definitely-new rows skip the
+    join and the registry is broadcast-semi-reduced instead of shuffled
+    (`operators/bloom.py`). Output is IDENTICAL to the plain path — no
+    false negatives — verified by tests/test_streaming.py. Size
+    ``bloom_expected`` to the registry's target capacity; monitor
+    ``saturation()`` and rebuild alongside registry compaction."""
     run_base = _pin_run_base(checkpoint_dir, registry_dir)
+    bloom_state = (
+        None
+        if bloom_fpp is None
+        else {"fpp": bloom_fpp, "expected": bloom_expected}
+    )
     scored = _scored_stream(spark, src_dir)
     writer = (
         scored.writeStream.foreachBatch(
-            _commit_batch(out_dir, registry_dir, run_base)
+            _commit_batch(out_dir, registry_dir, run_base, bloom_state)
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")

@@ -68,3 +68,53 @@ def test_artifact_roundtrip(spark, tmp_path):
 def test_bad_fpp_raises(spark):
     with pytest.raises(ValueError, match="fpp"):
         build_bloom(_keys(spark, 0, 10), "key", fpp=1.5)
+
+
+def test_survivors_broadcast_matches_and_no_registry_exchange(spark):
+    """The reversed-semi-join mode must give the identical row set AND
+    never shuffle a join side: both joins broadcast (the registry is
+    only scanned; the remaining Exchanges are the survivor-key distinct
+    aggregates, bounded by the post-bloom survivor count)."""
+    from fineweb_legal_spark.session import explain_formatted as _plan
+
+    registry = _keys(spark, 0, 5_000)
+    new = _keys(spark, 2_500, 9_000)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = bloom_filtered_antijoin(
+            new, registry, "key", fpp=0.01, survivors_broadcast=True
+        )
+        plan = _plan(got)
+        assert "SortMergeJoin" not in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        want = new.join(registry.select("key"), "key", "left_anti")
+        assert sorted(r.key for r in got.collect()) == sorted(
+            r.key for r in want.collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_incremental_add_hashes(spark):
+    """A filter grown batch-by-batch with add_hashes must never produce a
+    false negative for any added key, and saturation must track load."""
+    import numpy as np
+
+    members = _keys(spark, 0, 2_000)
+    bloom = build_bloom(members, "key", expected=10_000, fpp=0.01)
+    s0 = bloom.saturation()
+    batch = _keys(spark, 50_000, 52_000, prefix="n")
+    hashes = np.array(
+        [r.h for r in batch.select(F.xxhash64("key").alias("h")).collect()],
+        dtype=np.int64,
+    )
+    bloom.add_hashes(hashes)
+    assert bloom.saturation() > s0
+    flagged = bloom_might_contain(batch, "key", bloom, "might")
+    assert flagged.filter(~F.col("might")).count() == 0
+    # idempotent: re-adding changes nothing
+    before = bloom.bitmap.copy()
+    bloom.add_hashes(hashes)
+    assert (bloom.bitmap == before).all()

@@ -518,3 +518,59 @@ def test_registry_compaction_never_unpublishes_live_base(spark):
         ).collect()
     }
     assert keys == {"k1", "k2", "k3", "k9"}
+
+
+def test_registry_stream_bloom_path_identical(spark):
+    """The Bloom-accelerated registry dedup must commit the IDENTICAL
+    kept set and registry as the plain path — across within-batch dups,
+    cross-batch dups, replay, and the incremental filter growth."""
+    import datetime as dt
+
+    from fineweb_legal_spark.streaming.registry_stream import _commit_batch
+
+    base = DATA_DIR / "tmp" / "stream_reg_bloom"
+    shutil.rmtree(base, ignore_errors=True)
+    ts = dt.datetime(2025, 6, 1)
+    schema = (
+        "conv_id string, turn_idx int, ts timestamp, lang string, "
+        "ppl_bucket int, scrubbed_text string, norm_key string, "
+        "reason0 string"
+    )
+    b0 = spark.createDataFrame(
+        [
+            ("c1", 0, ts, "en", 3, "hello", "k1", None),
+            ("c2", 0, ts, "en", 3, "hello", "k1", None),  # within-batch dup
+            ("c3", 0, ts, "en", 3, "other", "k2", None),
+            ("cX", 0, ts, "en", 3, "reject", "k9", "lang"),
+        ],
+        schema,
+    )
+    b1 = spark.createDataFrame(
+        [
+            ("c4", 0, ts, "en", 3, "hello", "k1", None),  # cross-batch dup
+            ("c5", 0, ts, "en", 3, "new", "k3", None),
+            ("c6", 1, ts, "en", 3, "other", "k2", None),  # cross-batch dup
+        ],
+        schema,
+    )
+
+    results = {}
+    for mode, bloom_state in (("plain", None), ("bloom", {"fpp": 0.01, "expected": 1000})):
+        out = str(base / mode / "out")
+        reg = str(base / mode / "reg")
+        fn = _commit_batch(out, reg, 0, bloom_state)
+        fn(b0, 0)
+        fn(b0, 0)  # replay must stay idempotent with the filter grown
+        fn(b1, 1)
+        kept0 = sorted(spark.read.parquet(f"{out}/batch=0").toPandas().conv_id)
+        kept1 = sorted(spark.read.parquet(f"{out}/batch=1").toPandas().conv_id)
+        regkeys = sorted(
+            spark.read.parquet(f"{reg}/batch-0.parquet", f"{reg}/batch-1.parquet")
+            .toPandas()
+            .norm_key
+        )
+        results[mode] = (kept0, kept1, regkeys)
+    assert results["plain"] == results["bloom"]
+    assert results["bloom"][0] == ["c1", "c3"]
+    assert results["bloom"][1] == ["c5"]
+    shutil.rmtree(base, ignore_errors=True)
