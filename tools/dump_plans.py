@@ -174,6 +174,63 @@ PICKS = {
 }
 
 
+def _extra_builders() -> dict:
+    """Non-registry plans worth auditing (built job-free: the bloom is a
+    zeroed in-memory filter — same plan shape as a built one)."""
+    import pyspark.sql.functions as F
+
+    from fineweb_legal_spark.operators.bloom import (
+        bloom_filtered_antijoin,
+        empty_bloom,
+    )
+
+    def _tables(spark):
+        new = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+            "norm_key", F.md5(F.lower(F.coalesce("text", F.lit(""))))
+        )
+        registry = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            F.md5(F.lower(F.coalesce("text", F.lit("")))).alias("norm_key")
+        )
+        return new, registry
+
+    def bloom_antijoin_shuffled(spark, _sf):
+        new, registry = _tables(spark)
+        return bloom_filtered_antijoin(
+            new, registry, "norm_key", bloom=empty_bloom(100_000)
+        )
+
+    def bloom_antijoin_broadcast(spark, _sf):
+        new, registry = _tables(spark)
+        return bloom_filtered_antijoin(
+            new,
+            registry,
+            "norm_key",
+            bloom=empty_bloom(100_000),
+            survivors_broadcast=True,
+        )
+
+    return {
+        "bloom_antijoin_shuffled": (
+            "Bloom semi-join reduction, batch shape (round 4): the probe "
+            "is a scalar pandas_udf over the JVM xxhash64 column only "
+            "(ArrowEvalPython above the scan — 8 bytes/row cross Arrow); "
+            "definitely-new rows union AROUND the join, and only "
+            "might-contain survivors reach the anti-join exchange. The "
+            "audit point: the union's first branch has NO join below it.",
+            bloom_antijoin_shuffled,
+        ),
+        "bloom_antijoin_broadcast": (
+            "Bloom + reversed semi-join, streaming shape (round 4): "
+            "survivor keys broadcast-semi-reduce the registry and the "
+            "match set broadcasts into the anti-join — NO SortMergeJoin/"
+            "ShuffledHashJoin anywhere; the registry is scanned, never "
+            "shuffled; the only Exchanges are the survivor-key distinct "
+            "aggregates (bounded by true-dup volume + fpp).",
+            bloom_antijoin_broadcast,
+        ),
+    }
+
+
 def _plan(df) -> str:
     from fineweb_legal_spark.session import explain_formatted
 
@@ -200,8 +257,14 @@ def main() -> None:
         "shuffle should be explainable, or it is a bug.",
         "",
     ]
-    for name, why in PICKS.items():
-        fn = qs.get(name) or getattr(entrymod, f"q_{name}")
+    entries = [
+        (name, why, qs.get(name) or getattr(entrymod, f"q_{name}"))
+        for name, why in PICKS.items()
+    ]
+    entries += [
+        (name, why, fn) for name, (why, fn) in _extra_builders().items()
+    ]
+    for name, why, fn in entries:
         plan = _plan(fn(spark, SF_DIR))
         exchanges = [
             ln.strip()
