@@ -1,0 +1,83 @@
+"""Corpus diff: added/removed/changed/unchanged classification, group
+attribution sides, null-text sentinel, and the summary's totals."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from fineweb_legal_spark.operators.diff import corpus_diff, corpus_diff_summary
+
+
+def _v(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_statuses_and_group_sides(spark):
+    old = _v(
+        spark,
+        [
+            (1, "same", "a"),
+            (2, "before", "a"),
+            (3, "gone", "b"),
+            (5, None, "b"),
+        ],
+    )
+    new = _v(
+        spark,
+        [
+            (1, "same", "a"),
+            (2, "after", "a"),
+            (4, "fresh", "b"),
+            (5, "", "b"),  # null -> '' must count as changed
+        ],
+    )
+    d = {r.doc_id: r for r in corpus_diff(old, new, group_cols=["source"]).collect()}
+    assert d[1].status == "unchanged"
+    assert d[2].status == "changed"
+    assert d[3].status == "removed" and d[3].source == "b"  # old-side group
+    assert d[4].status == "added" and d[4].source == "b"
+    assert d[5].status == "changed"
+
+    s = corpus_diff_summary(old, new, group_cols=["source"]).collect()
+    by = {(r.source, r.status): r for r in s}
+    assert by[("a", "unchanged")].n_docs == 1
+    assert by[("a", "changed")].n_docs == 1
+    assert by[("b", "removed")].n_docs == 1
+    assert by[("b", "added")].n_docs == 1
+    assert by[("b", "changed")].n_docs == 1
+    # totals: old side of b = {3,5}; new side of b = {4,5}
+    assert by[("b", "added")].old_total == 2
+    assert by[("b", "added")].new_total == 2
+
+
+def test_diff_on_real_docs_roundtrip(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # new version: drop every 7th doc, mutate every 5th, add 10
+    old = docs
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.range(10_000, 10_010).select(
+                F.col("id").alias("doc_id"),
+                F.lit("brand new").alias("text"),
+                F.lit("x").alias("lang"),
+                F.lit("web").alias("source"),
+                F.lit(9).alias("n_chars"),
+            )
+        )
+    )
+    d = corpus_diff(old, new)
+    counts = {r.status: r.n for r in d.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    n = old.count()
+    removed = old.filter(F.col("doc_id") % 7 == 0).count()
+    changed = old.filter((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 5 == 0)).count()
+    assert counts["removed"] == removed
+    assert counts["added"] == 10
+    assert counts["changed"] == changed
+    assert counts["unchanged"] == n - removed - changed
