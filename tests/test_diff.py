@@ -81,3 +81,49 @@ def test_diff_on_real_docs_roundtrip(spark):
     assert counts["added"] == 10
     assert counts["changed"] == changed
     assert counts["unchanged"] == n - removed - changed
+
+
+def test_diff_duckdb_oracle_parity(spark):
+    """The full diff verdict frame must match an independent DuckDB
+    restatement (full-outer join + CASE over md5 digests) row for row —
+    the same rigor as the driver's oracle gate, applied in-suite because
+    the 50-entry registry is budget-capped."""
+    import duckdb
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    docs = spark.read.parquet(path)
+    new = docs.filter((F.col("doc_id") % 3 != 0)).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None).cast("string")).otherwise(
+            F.col("text")
+        ),
+    )
+    got = sorted(
+        (r.doc_id, r.status, r.source)
+        for r in corpus_diff(docs, new, group_cols=["source"]).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(t)
+        for t in con.sql(
+            f"""
+        WITH o AS (SELECT doc_id, md5(coalesce(text, chr(0) || 'null')) AS d,
+                          source FROM '{path}'),
+             n AS (SELECT doc_id, md5(coalesce(text, chr(0) || 'null')) AS d,
+                          source
+                   FROM (SELECT doc_id,
+                                CASE WHEN doc_id % 4 = 0 THEN NULL ELSE text END AS text,
+                                source
+                         FROM '{path}' WHERE doc_id % 3 != 0)),
+             j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                          CASE WHEN o.d IS NULL THEN 'added'
+                               WHEN n.d IS NULL THEN 'removed'
+                               WHEN o.d = n.d THEN 'unchanged'
+                               ELSE 'changed' END AS status,
+                          coalesce(n.source, o.source) AS source
+                   FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        SELECT doc_id, status, source FROM j
+        """
+        ).fetchall()
+    )
+    assert got == want
