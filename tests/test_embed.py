@@ -46,3 +46,33 @@ def test_bag_cosine_geometry(spark):
     assert not emb[5].any() and not emb[6].any()  # null/empty -> zeros
     for i in (1, 2, 3, 4):
         assert abs(np.linalg.norm(emb[i]) - 1.0) < 1e-5
+
+
+def test_embed_feeds_semantic_dedup(spark):
+    """Composition: in-engine embeddings + semantic_dedup must cluster
+    planted exact/near duplicates together and keep exactly one
+    representative, leaving unrelated docs as kept singletons."""
+    from fineweb_legal_spark.operators.cluster import semantic_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    dups = docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    emb = embed_docs(corpus, dim=64).select(
+        F.col("id").alias("vec_id"), F.col("emb").alias("embedding")
+    )
+    labels = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in semantic_dedup(emb, dim=64, threshold=0.95, n_planes=4).collect()
+    }
+    for i in range(5):
+        # planted twin shares the original's cluster; the min id is kept
+        assert labels[i][0] == labels[i + 100_000][0]
+        assert labels[i][1] is True and labels[i + 100_000][1] is False
+    kept = sum(1 for _, k in labels.values() if k)
+    clusters = len({c for c, _ in labels.values()})
+    # one keeper per cluster; the corpus itself may contain real near-dups
+    # (synthetic docs share templates), so clusters <= 60, never more
+    assert kept == clusters
+    assert 50 <= clusters <= 60
