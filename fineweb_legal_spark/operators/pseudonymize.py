@@ -64,6 +64,21 @@ from .. import spec
 
 _ANY_3_DIGITS = re.compile(r"\d\d\d")
 _NON_DIGIT = re.compile(r"\D")
+_IP_GATE = re.compile(r"\d\.\d")
+_CCN_GATE = re.compile(r"\d{3}|\d[ -]\d[ -]\d")
+
+# Extended-PII patterns (beyond the reference scrub's EMAIL/SSN/PHONE —
+# opt-in via ``extended=True`` so the default path stays byte-identical
+# to the reference cascade). IPv4: octet-bounded dotted quad, digit/dot
+# guards reject version-string tails like 1.2.3.4.5. Card: 13-19 digits
+# with optional single space/dash separators, digit/dash guards against
+# partial runs; a candidate only becomes a card if Luhn-valid, else the
+# text is left untouched (ISBNs, order ids, and timestamps fail Luhn
+# 90% of the time, and a non-card false positive is a rewrite a
+# training corpus never gets back).
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+IP_RE = re.compile(r"(?<![\d.])" + _OCTET + r"(?:\." + _OCTET + r"){3}(?![\d.])")
+CCN_RE = re.compile(r"(?<![\d-])\d(?:[ -]?\d){12,18}(?![\d-])")
 
 
 def _email_key(v: str) -> str:
@@ -81,26 +96,79 @@ def _phone_key(v: str) -> str:
     return d
 
 
-# (label, compiled regex, identity normalizer) in scrub-cascade order;
-# SSN and SSN9 share the "SSN" label and therefore one identity space.
+def _ip_key(v: str) -> str:
+    # leading zeros are display variants of the same address
+    return ".".join(str(int(o)) for o in v.split("."))
+
+
+def _luhn_ok(digits: str) -> bool:
+    total = 0
+    for i, ch in enumerate(reversed(digits)):
+        d = int(ch)
+        if i % 2 == 1:
+            d = d * 2 - 9 if d > 4 else d * 2
+        total += d
+    return total % 10 == 0
+
+
+def _gate_email(t: str) -> bool:
+    return "@" in t
+
+
+def _gate_3digits(t: str) -> bool:
+    return _ANY_3_DIGITS.search(t) is not None
+
+
+def _gate_ip(t: str) -> bool:
+    return _IP_GATE.search(t) is not None
+
+
+def _gate_ccn(t: str) -> bool:
+    return _CCN_GATE.search(t) is not None
+
+
+def _ccn_valid(normalized: str) -> bool:
+    return _luhn_ok(normalized)
+
+
+# (label, compiled regex, identity normalizer, cheap necessary-condition
+# gate, post-normalization validator) in scrub-cascade order; SSN and
+# SSN9 share the "SSN" label and therefore one identity space. The
+# extended stages run BEFORE the digit-soup stages (a card must not be
+# nibbled by PHONE, an IP must not feed SSN9) and AFTER EMAIL (whose
+# matches can contain digits the others would misread).
 _STAGES = (
-    ("EMAIL", spec.EMAIL_RE, _email_key),
-    ("SSN", spec.SSN_RE, _digits_key),
-    ("SSN", spec.SSN9_RE, _digits_key),
-    ("PHONE", spec.PHONE_RE, _phone_key),
+    ("EMAIL", spec.EMAIL_RE, _email_key, _gate_email, None),
+    ("SSN", spec.SSN_RE, _digits_key, _gate_3digits, None),
+    ("SSN", spec.SSN9_RE, _digits_key, _gate_3digits, None),
+    ("PHONE", spec.PHONE_RE, _phone_key, _gate_3digits, None),
+)
+_EXT_STAGES = (
+    ("EMAIL", spec.EMAIL_RE, _email_key, _gate_email, None),
+    ("CCN", CCN_RE, _digits_key, _gate_ccn, _ccn_valid),
+    ("IP", IP_RE, _ip_key, _gate_ip, None),
+    ("SSN", spec.SSN_RE, _digits_key, _gate_3digits, None),
+    ("SSN", spec.SSN9_RE, _digits_key, _gate_3digits, None),
+    ("PHONE", spec.PHONE_RE, _phone_key, _gate_3digits, None),
 )
 
 
 def pseudonymize_conversation(
     turns: list[str | None],
+    extended: bool = False,
 ) -> tuple[list[str | None], list[int]]:
     """Single-conversation kernel: turns in turn order -> (rewritten
     turns, per-turn replacement counts). Pure Python/`re`; shared by the
     Spark kernel and the golden twin (the library-code-sharing caveat
     documented in tools/build_golden_misc.py applies — independent
     semantics coverage lives in tests/test_operators.py's hand-derived
-    fixtures)."""
-    maps: dict[str, dict[str, int]] = {"EMAIL": {}, "SSN": {}, "PHONE": {}}
+    fixtures). ``extended=True`` adds the IP / Luhn-validated-card
+    stages (beyond the reference cascade; default off keeps strict
+    scrub parity)."""
+    stages = _EXT_STAGES if extended else _STAGES
+    maps: dict[str, dict[str, int]] = {
+        label: {} for label, *_ in stages
+    }
     out: list[str | None] = []
     counts: list[int] = []
     for t in turns:
@@ -109,19 +177,24 @@ def pseudonymize_conversation(
             counts.append(0)
             continue
         n = 0
-        for label, rx, norm in _STAGES:
+        for label, rx, norm, gate, validate in stages:
             # the same necessary-condition gates as scrub.py: clean text
             # (the overwhelming majority) never runs the expensive subs
-            if label == "EMAIL":
-                if "@" not in t:
-                    continue
-            elif not _ANY_3_DIGITS.search(t):
+            if not gate(t):
                 continue
             ids = maps[label]
 
-            def _repl(mo: re.Match, _ids=ids, _label=label, _norm=norm) -> str:
+            def _repl(
+                mo: re.Match,
+                _ids=ids,
+                _label=label,
+                _norm=norm,
+                _validate=validate,
+            ) -> str:
                 nonlocal n
                 k = _norm(mo.group(0))
+                if _validate is not None and not _validate(k):
+                    return mo.group(0)
                 if k not in _ids:
                     _ids[k] = len(_ids) + 1
                 n += 1
@@ -139,10 +212,13 @@ def pseudonymize_pii(
     turn_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "text",
+    extended: bool = False,
 ) -> DataFrame:
     """(conv_id, turn_idx, role, text, n_pseudo) with text rewritten and
     n_pseudo = replacements made in that turn. Deterministic under any
-    input partitioning/order: the kernel sorts each group by turn_idx."""
+    input partitioning/order: the kernel sorts each group by turn_idx.
+    ``extended=True`` adds the IP-address and Luhn-validated credit-card
+    stages (opt-in; the default is strict reference-scrub parity)."""
     schema = T.StructType(
         [
             T.StructField("conv_id", df.schema[conv_col].dataType),
@@ -156,7 +232,8 @@ def pseudonymize_pii(
     def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("turn_idx", kind="stable")
         texts, counts = pseudonymize_conversation(
-            [None if pd.isna(t) else t for t in pdf["text"]]
+            [None if pd.isna(t) else t for t in pdf["text"]],
+            extended=extended,
         )
         return pd.DataFrame(
             {

@@ -249,6 +249,87 @@ def test_pseudonymize_same_identity_same_placeholder_across_turns():
     assert counts == [1, 1, 1]
 
 
+# ------------------------------------------- extended PII (IP / card)
+
+
+def _check_digit(body: str) -> str:
+    """Reference Luhn check digit for a digit string (naive spec form)."""
+    total = 0
+    for i, ch in enumerate(reversed(body)):
+        d = int(ch)
+        if i % 2 == 0:  # doubling starts at the digit left of the check
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return str((10 - total % 10) % 10)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(alphabet="0123456789", min_size=12, max_size=18),
+    st.sampled_from(["", " ", "-"]),
+)
+def test_extended_ccn_luhn_gate(body, sep):
+    """A Luhn-valid card is pseudonymized; flipping its check digit
+    leaves the text byte-identical (validator rejects, no index burned)."""
+    from fineweb_legal_spark.operators.pseudonymize import (
+        pseudonymize_conversation,
+    )
+
+    good = body + _check_digit(body)
+    bad = body + str((int(_check_digit(body)) + 1) % 10)
+    fmt = sep.join(good[i : i + 4] for i in range(0, len(good), 4))
+    out, counts = pseudonymize_conversation([f"card {fmt} ok"], extended=True)
+    assert out[0] == "card [CCN_1] ok" and counts[0] == 1
+    fmt_bad = sep.join(bad[i : i + 4] for i in range(0, len(bad), 4))
+    out, counts = pseudonymize_conversation([f"card {fmt_bad} ok"], extended=True)
+    assert out[0] == f"card {fmt_bad} ok" and counts[0] == 0
+
+
+def test_extended_ccn_identity_across_formats():
+    out, counts = pseudonymize_conversation(
+        [
+            "pay 4111 1111 1111 1111 now",
+            "again 4111-1111-1111-1111",
+            "other 5500005555555559",
+        ],
+        extended=True,
+    )
+    assert out[0] == "pay [CCN_1] now"
+    assert out[1] == "again [CCN_1]"  # separators normalize to one identity
+    assert out[2] == "other [CCN_2]"
+    assert counts == [1, 1, 1]
+
+
+def test_extended_ip_stage():
+    out, counts = pseudonymize_conversation(
+        [
+            "from 10.0.0.1 and 192.168.1.7",
+            "10.0.0.1 again",
+            "version 1.2.3.4.5 and 999.1.1.1 stay",
+        ],
+        extended=True,
+    )
+    assert out[0] == "from [IP_1] and [IP_2]"
+    assert out[1] == "[IP_1] again"
+    # 5-part version strings and out-of-range octets are not addresses
+    assert out[2] == "version 1.2.3.4.5 and 999.1.1.1 stay"
+    assert counts == [2, 1, 0]
+
+
+def test_extended_card_not_nibbled_by_phone_and_default_untouched():
+    text = "call 555-123-4567, card 4111-1111-1111-1111"
+    out, _ = pseudonymize_conversation([text], extended=True)
+    assert out[0] == "call [PHONE_1], card [CCN_1]"
+    # default path: reference-cascade parity — card and IP text untouched
+    out, counts = pseudonymize_conversation(
+        ["card 4111-1111-1111-1111 ip 10.0.0.1"], extended=False
+    )
+    assert out[0] == "card 4111-1111-1111-1111 ip 10.0.0.1"
+    assert counts == [0]
+
+
 # ------------------------------------------------------------ tokenizer
 
 _WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
