@@ -2485,3 +2485,67 @@ def test_calibration_curve_bins_and_exclusions(spark):
     assert got[9]["n"] == 1 and got[9]["frac_pos"] == 1.0
     assert got[-1]["n"] == 2
     assert got[-1]["mean_prob"] is None or got[-1]["mean_prob"] == 0.4
+
+
+def test_canonicalize_url_cases(spark):
+    from fineweb_legal_spark.operators.domains import canonicalize_url
+
+    cases = [
+        # (input, expected) — expected forms hand-derived from the
+        # documented contract, not from running the operator
+        (
+            "HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#frag",
+            "https://example.com/a/b?a=1&b=2",
+        ),
+        ("http://example.com:80/", "http://example.com"),
+        ("http://example.com./x", "http://example.com/x"),
+        ("example.com/path?gclid=1&q=Keep", "example.com/path?q=Keep"),
+        ("http://user@WWW.ex.com/", "http://user@ex.com"),
+        ("https://ex.com/a//b///", "https://ex.com/a//b"),
+        ("https://ex.com/?fbclid=abc", "https://ex.com"),
+        ("https://ex.com/s?b=2&a=1&a=0", "https://ex.com/s?a=0&a=1&b=2"),
+        ("ftp://Ex.Com:21/f", "ftp://ex.com:21/f"),  # non-default port kept
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"]
+    )
+    got = {
+        r["i"]: r["c"]
+        for r in df.select(
+            "i", canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+    # fold_scheme: http and https fetches share one key
+    df2 = spark.createDataFrame(
+        [("http://A.com/x",), ("https://a.com/x/",)], ["url"]
+    )
+    keys = {
+        r["c"]
+        for r in df2.select(
+            canonicalize_url(F.col("url"), fold_scheme=True).alias("c")
+        ).collect()
+    }
+    assert keys == {"a.com/x"}
+
+
+def test_dedup_by_url_winner_and_nulls(spark):
+    from fineweb_legal_spark.operators.domains import dedup_by_url
+
+    rows = [
+        (1, "https://www.ex.com/a?utm_source=t"),
+        (2, "https://ex.com/a"),          # same canonical as 1 -> loses
+        (3, "http://other.com/b/"),
+        (4, "http://other.com/b"),        # same canonical as 3 -> loses
+        (5, None),                        # null URL always kept
+        (6, "https://unique.com/c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    for bl in (True, False):
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_by_url(df, broadcast_losers=bl).collect()
+        )
+        assert kept == [1, 3, 5, 6]
