@@ -107,7 +107,13 @@ def build_media(out: Path) -> None:
         v = hist.astype(np.float32)
         n = np.linalg.norm(v)
         embs["media_id"].append(mid)
-        embs["embedding"].append((v / n if n else v).round(6).tolist())
+        # mirror the operator's array<float> output contract: the Spark
+        # side casts the rounded values to float32 at the schema boundary,
+        # so the golden must store those exact float32 values too — else
+        # %.6f formatting diverges by 1 ULP near a 6th-decimal boundary
+        embs["embedding"].append(
+            (v / n if n else v).round(6).astype(np.float32).tolist()
+        )
     pd.DataFrame(embs).to_parquet(out / "media_embeddings.parquet", index=False)
 
 
