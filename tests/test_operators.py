@@ -2549,3 +2549,82 @@ def test_dedup_by_url_winner_and_nulls(spark):
             for r in dedup_by_url(df, broadcast_losers=bl).collect()
         )
         assert kept == [1, 3, 5, 6]
+
+
+def test_preference_pairs_modes_and_duckdb_twin(spark):
+    import duckdb
+
+    from fineweb_legal_spark.operators.preference import preference_pairs
+
+    rows = [
+        # g1: tie between ids 1 and 3 at 0.9 -> id 1 chosen (id tie-break)
+        ("g1", 1, "a", 0.9),
+        ("g1", 2, "b", 0.4),
+        ("g1", 3, "c", 0.9),
+        ("g2", 4, "d", 0.5),     # singleton: no pairs
+        ("g3", 5, "e", None),    # NULL score: dropped from both roles
+        ("g3", 6, "f", 0.2),
+        ("g3", 7, None, 0.7),    # NULL text chosen passes through
+        ("g4", 8, "h", None),    # all-NULL group: nothing
+    ]
+    schema = "group_key string, cand_id int, text string, score double"
+    df = spark.createDataFrame(rows, schema)
+
+    rest = {
+        (r["group_key"], r["rejected_id"]): (
+            r["chosen_id"], r["chosen"], r["rejected"], round(r["margin"], 9)
+        )
+        for r in preference_pairs(df).collect()
+    }
+    assert rest == {
+        ("g1", 2): (1, "a", "b", 0.5),
+        ("g1", 3): (1, "a", "c", 0.0),   # tie pair kept at margin 0.0
+        ("g3", 6): (7, None, "f", 0.5),
+    }
+    # strict margin drops the tie pair
+    strict = {
+        (r["group_key"], r["rejected_id"])
+        for r in preference_pairs(df, min_margin=0.1).collect()
+    }
+    assert strict == {("g1", 2), ("g3", 6)}
+    # best_vs_worst: one pair per multi-candidate group, argmin rejected
+    worst = {
+        r["group_key"]: (r["chosen_id"], r["rejected_id"])
+        for r in preference_pairs(df, mode="best_vs_worst").collect()
+    }
+    assert worst == {"g1": (1, 2), "g3": (7, 6)}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        preference_pairs(df, mode="nope")
+
+    # DuckDB first_value twin (independent window semantics) vs the
+    # best_vs_rest output over the same rows
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(group_key VARCHAR, cand_id INT, text VARCHAR,"
+        " score DOUBLE)"
+    )
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    want = con.execute("""
+        WITH scored AS (SELECT * FROM t WHERE score IS NOT NULL),
+        w AS (
+          SELECT group_key, cand_id, text, score,
+                 first_value(cand_id) OVER o AS c_id,
+                 first_value(text) OVER o AS c_text,
+                 first_value(score) OVER o AS c_score
+          FROM scored
+          WINDOW o AS (PARTITION BY group_key
+                       ORDER BY score DESC, cand_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+        )
+        SELECT group_key, c_id, c_text, c_score, cand_id, text, score,
+               c_score - score AS margin
+        FROM w WHERE cand_id <> c_id AND c_score - score >= 0.0
+    """).fetchall()
+    twin = {
+        (g, rid): (cid, ctext, rtext, round(m, 9))
+        for g, cid, ctext, _cs, rid, rtext, _rs, m in want
+    }
+    assert twin == rest
