@@ -37,14 +37,33 @@ REJECT_REASONS = (
 def corpus_report(verdicts: DataFrame) -> dict:
     """Collect the data card for a verdict frame
     (conv_id, turn_idx, keep, reject_reason, scrubbed_text, lang,
-    ppl_bucket). Returns a plain JSON-able dict."""
+    ppl_bucket). Returns a plain JSON-able dict.
+
+    Also accepts a RELEASED corpus (the lineage-committed output of
+    ``jobs/run_filter.py``, kept rows only, no keep/reject_reason
+    columns): every row counts as kept, reject attribution is empty, and
+    the card carries ``verdicts_present: false`` so a dashboard can't
+    mistake "no verdict columns" for "zero rejects". For the full
+    attribution card, run over the verdict frame
+    (``run_filter.py --verdicts-out``)."""
+    verdicts_present = "keep" in verdicts.columns
+    if not verdicts_present:
+        verdicts = verdicts.withColumn("keep", F.lit(True)).withColumn(
+            "reject_reason", F.lit(None).cast("string")
+        )
     kept_len = F.when(F.col("keep"), F.length("scrubbed_text"))
     wide = verdicts.agg(
         F.count(F.lit(1)).alias("turns"),
         F.approx_count_distinct("conv_id").alias("conversations_approx"),
         F.sum(F.col("keep").cast("long")).alias("kept_turns"),
         *[
-            F.sum((F.col("reject_reason") == r).cast("long")).alias(f"r_{r}")
+            # coalesce the NULL-comparison inside the sum: an all-NULL
+            # reject_reason column (fully-kept / released corpus) must
+            # sum to 0, not NULL — sum() skips NULLs and returns NULL
+            # when every input was NULL
+            F.sum(
+                F.coalesce((F.col("reject_reason") == r).cast("long"), F.lit(0))
+            ).alias(f"r_{r}")
             for r in REJECT_REASONS
         ],
         F.sum(F.coalesce(kept_len, F.lit(0))).alias("kept_chars"),
@@ -76,6 +95,7 @@ def corpus_report(verdicts: DataFrame) -> dict:
     turns = wide["turns"]
     rejects = {r: wide[f"r_{r}"] for r in REJECT_REASONS}
     return {
+        "verdicts_present": verdicts_present,
         "turns": turns,
         "conversations_approx": wide["conversations_approx"],
         "kept_turns": wide["kept_turns"],

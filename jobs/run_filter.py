@@ -13,6 +13,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main() -> None:
@@ -22,6 +26,15 @@ def main() -> None:
     ap.add_argument("--groups", type=int, default=1)
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--verdicts-out",
+        default=None,
+        help="also write the FULL verdict frame (keep + reject_reason for "
+        "every input turn) to this path — the input jobs/run_report.py "
+        "needs for reject attribution. Opt-in: it recomputes the pipeline "
+        "over the whole input once (the committed output alone only "
+        "carries kept rows).",
+    )
     args = ap.parse_args()
 
     from fineweb_legal_spark.session import get_spark
@@ -43,6 +56,13 @@ def main() -> None:
 
         src = spark.read.parquet(args.input)
         result = run_with_lineage(spark, src, args.output, n_groups=args.groups)
+        if args.verdicts_out:
+            from fineweb_legal_spark.pipeline import run_pipeline
+
+            run_pipeline(spark, src).write.mode("overwrite").parquet(
+                args.verdicts_out
+            )
+            result["verdicts_out"] = args.verdicts_out
         print(json.dumps(result))
     spark.stop()
 

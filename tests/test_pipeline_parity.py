@@ -82,3 +82,15 @@ def test_corpus_report_matches_golden_pandas(spark, t1_golden):
         int(k): v
         for k, v in g["ppl_bucket"].dropna().value_counts().sort_index().items()
     }
+    assert card["verdicts_present"] is True
+    # released-corpus mode: kept rows only, no keep/reject_reason columns
+    # (the lineage-committed output schema) — every row counts as kept,
+    # attribution is empty and flagged absent, kept totals unchanged
+    released = v.filter("keep").drop("keep", "reject_reason")
+    rcard = corpus_report(released)
+    assert rcard["verdicts_present"] is False
+    assert rcard["turns"] == rcard["kept_turns"] == card["kept_turns"]
+    assert rcard["kept_frac"] == 1.0
+    assert rcard["rejects"] == {} and rcard["reject_other"] == 0
+    assert rcard["kept_chars"] == card["kept_chars"]
+    assert rcard["kept_tok_est"] == card["kept_tok_est"]
