@@ -209,7 +209,27 @@ def _extra_builders() -> dict:
             survivors_broadcast=True,
         )
 
+    def preference_pairs_plan(spark, _sf):
+        from fineweb_legal_spark.operators.preference import preference_pairs
+
+        cands = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            F.col("source").alias("group_key"),
+            F.col("doc_id").alias("cand_id"),
+            "text",
+            F.col("n_chars").cast("double").alias("score"),
+        )
+        return preference_pairs(cands, mode="best_vs_worst")
+
     return {
+        "preference_pairs": (
+            "DPO pair extraction (round 4): ONE hash exchange on the group "
+            "key feeds both window orderings (argmax forward sort, argmin "
+            "reverse sort reuse the same partitioning — the plan must show "
+            "a single Exchange under two Sort+Window pairs). No self-join, "
+            "no O(g^2): best_vs_rest emits one row per non-chosen "
+            "candidate, best_vs_worst one per group.",
+            preference_pairs_plan,
+        ),
         "bloom_antijoin_shuffled": (
             "Bloom semi-join reduction, batch shape (round 4): the probe "
             "is a scalar pandas_udf over the JVM xxhash64 column only "
