@@ -114,3 +114,50 @@ def corpus_report(verdicts: DataFrame) -> dict:
         "lang_mix": dict(sorted(langs.items())),
         "ppl_histogram": dict(sorted(ppl.items())),
     }
+
+
+def merge_cards(cards: list[dict]) -> dict:
+    """Fold per-shard data cards into one corpus card WITHOUT rescanning
+    — the 10^12-turn pattern: each daily/bucketed run publishes its own
+    card (one slim job over its own output), and the corpus-level card
+    is this pure-Python counter merge.
+
+    Every field is an exact monoid except ``conversations_approx``:
+    HLL sketches aren't retained in the card, so the merge SUMS the
+    shard values — exact iff shards never split a conversation (true
+    for this repo's conv_id-bucketed layouts), an overcount otherwise;
+    the merged card says so in ``conversations_merge``. Means/fractions
+    are re-derived from the merged sums, never averaged."""
+    if not cards:
+        raise ValueError("merge_cards needs at least one card")
+
+    def _sum(key: str) -> int:
+        return sum(c[key] for c in cards)
+
+    def _merge_counts(key: str) -> dict:
+        out: dict = {}
+        for c in cards:
+            for k, v in c[key].items():
+                out[k] = out.get(k, 0) + v
+        return dict(sorted(out.items()))
+
+    turns = _sum("turns")
+    kept_turns = _sum("kept_turns")
+    kept_chars = _sum("kept_chars")
+    return {
+        "verdicts_present": all(c["verdicts_present"] for c in cards),
+        "turns": turns,
+        "conversations_approx": _sum("conversations_approx"),
+        "conversations_merge": "sum (exact iff shards are conv-disjoint)",
+        "kept_turns": kept_turns,
+        "kept_frac": round(kept_turns / turns, 6) if turns else None,
+        "rejects": _merge_counts("rejects"),
+        "reject_other": _sum("reject_other"),
+        "kept_chars": kept_chars,
+        "kept_tok_est": _sum("kept_tok_est"),
+        "kept_mean_chars": (
+            round(kept_chars / kept_turns, 2) if kept_turns else None
+        ),
+        "lang_mix": _merge_counts("lang_mix"),
+        "ppl_histogram": _merge_counts("ppl_histogram"),
+    }

@@ -2628,3 +2628,77 @@ def test_preference_pairs_modes_and_duckdb_twin(spark):
         for g, cid, ctext, _cs, rid, rtext, _rs, m in want
     }
     assert twin == rest
+
+
+def test_conversation_verdicts_rollup_and_duckdb_twin(spark):
+    import duckdb
+
+    from fineweb_legal_spark.operators.convfilter import (
+        conversation_verdicts,
+        filter_conversations,
+    )
+
+    rows = [
+        ("c1", 0, True, None), ("c1", 1, True, None),
+        ("c1", 2, False, "perplexity"), ("c1", 3, False, "duplicate"),
+        # c2: exactly 1/10 kept — the 0.1-boundary case ceil() would break
+        *[("c2", i, i == 0, None if i == 0 else "length") for i in range(10)],
+        ("c3", 0, False, "lang"), ("c3", 1, False, "lang"),
+        ("c4", 0, True, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, keep boolean, reject_reason string"
+    )
+    got = {
+        r["conv_id"]: (
+            r["turns"], r["kept_turns"], r["keep_frac"],
+            r["fatal_turns"], r["conv_keep"],
+        )
+        for r in conversation_verdicts(
+            df, min_keep_frac=0.5, fatal_reasons=("duplicate",)
+        ).collect()
+    }
+    assert got == {
+        "c1": (4, 2, 0.5, 1, False),   # frac passes, fatal duplicate kills
+        "c2": (10, 1, 0.1, 0, False),
+        "c3": (2, 0, 0.0, 0, False),
+        "c4": (1, 1, 1.0, 0, True),
+    }
+    # the 1/10 >= 0.1 boundary must keep (IEEE-exact division compare)
+    b = {
+        r["conv_id"]: r["conv_keep"]
+        for r in conversation_verdicts(df, min_keep_frac=0.1).collect()
+    }
+    assert b == {"c1": True, "c2": True, "c3": False, "c4": True}
+
+    kept = filter_conversations(
+        df, min_keep_frac=0.5, fatal_reasons=("duplicate",)
+    ).collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in kept} == {("c4", 0)}
+    audit = filter_conversations(df, min_keep_frac=0.5, kept_turns_only=False)
+    assert {r["conv_id"] for r in audit.collect()} == {"c1", "c4"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        conversation_verdicts(df, min_keep_frac=1.5)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v(conv_id VARCHAR, turn_idx INT, keep BOOLEAN,"
+        " reject_reason VARCHAR)"
+    )
+    con.executemany("INSERT INTO v VALUES (?,?,?,?)", rows)
+    want = con.execute("""
+        SELECT conv_id, count(*) AS turns,
+               sum(keep::BIGINT) AS kept_turns,
+               round(sum(keep::BIGINT) / count(*), 6) AS keep_frac,
+               sum(coalesce((reject_reason = 'duplicate')::BIGINT, 0))
+                   AS fatal_turns,
+               (sum(keep::BIGINT) / count(*) >= 0.5
+                AND coalesce(sum((reject_reason = 'duplicate')::BIGINT), 0)
+                    = 0) AS conv_keep
+        FROM v GROUP BY conv_id
+    """).fetchall()
+    twin = {c: (t, k, f, ft, ck) for c, t, k, f, ft, ck in want}
+    assert twin == got

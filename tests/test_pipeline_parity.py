@@ -94,3 +94,34 @@ def test_corpus_report_matches_golden_pandas(spark, t1_golden):
     assert rcard["rejects"] == {} and rcard["reject_other"] == 0
     assert rcard["kept_chars"] == card["kept_chars"]
     assert rcard["kept_tok_est"] == card["kept_tok_est"]
+
+
+def test_merge_cards_equals_full_card(spark):
+    """Per-shard cards folded with merge_cards reproduce the full-corpus
+    card exactly (conversations_approx: sum of conv-disjoint shards)."""
+    import pytest
+
+    from fineweb_legal_spark.datasets import ensure_transcripts
+    from fineweb_legal_spark.pipeline import run_pipeline
+    from fineweb_legal_spark.report import corpus_report, merge_cards
+
+    v = run_pipeline(
+        spark, spark.read.parquet(str(ensure_transcripts("t1")))
+    ).cache()
+    try:
+        full = corpus_report(v)
+        # conv-disjoint split (never slices a conversation)
+        a = v.filter("crc32(conv_id) % 2 = 0")
+        b = v.filter("crc32(conv_id) % 2 = 1")
+        merged = merge_cards([corpus_report(a), corpus_report(b)])
+        assert merged.pop("conversations_merge")
+        approx_merged = merged.pop("conversations_approx")
+        approx_full = full.pop("conversations_approx")
+        # HLL of the union != sum of disjoint HLLs, but both approximate
+        # the same true count (rsd default 5%)
+        assert abs(approx_merged - approx_full) / approx_full < 0.15
+        assert merged == full
+    finally:
+        v.unpersist()
+    with pytest.raises(ValueError):
+        merge_cards([])
