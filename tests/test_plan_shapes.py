@@ -192,3 +192,51 @@ def test_neardup_pairs_has_no_cartesian_on_t1(spark, queries):
     # O(n^2) join (a single cartesian over the small docs table)
     plan = _plan(queries["neardup_pairs"](spark, SF_DIR))
     assert plan.count(") CartesianProduct") <= 1
+
+
+def test_preference_pairs_single_exchange(spark):
+    # both window orderings must reuse ONE group-key hash exchange; a
+    # second Exchange means the reverse sort stopped reusing the
+    # partitioning (or a self-join crept in)
+    from pyspark.sql import functions as F
+
+    from fineweb_legal_spark.operators.preference import preference_pairs
+
+    cands = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        F.col("source").alias("group_key"),
+        F.col("doc_id").alias("cand_id"),
+        "text",
+        F.col("n_chars").cast("double").alias("score"),
+    )
+    for mode in ("best_vs_rest", "best_vs_worst"):
+        plan = _plan(preference_pairs(cands, mode=mode))
+        n_ex = sum(
+            1
+            for ln in plan.splitlines()
+            if ln.strip().startswith("+- Exchange")
+            or ln.strip().startswith(":- Exchange")
+            or "] Exchange [" in ln
+            or ln.lstrip(" +:-").startswith("Exchange ")
+        )
+        assert n_ex == 1, (mode, plan)
+        assert "Join" not in plan, mode
+
+
+def test_conversation_rollup_single_exchange_no_text(spark):
+    # the roll-up exchange carries (conv_id, counters) only — text must
+    # be pruned before the shuffle, and there is exactly one Exchange
+    from fineweb_legal_spark.operators.convfilter import (
+        conversation_verdicts,
+    )
+
+    v = spark.read.parquet(f"{SF_DIR}/documents.parquet").selectExpr(
+        "source AS conv_id",
+        "doc_id AS turn_idx",
+        "n_chars > 500 AS keep",
+        "CASE WHEN n_chars <= 500 THEN 'length' END AS reject_reason",
+        "text AS scrubbed_text",
+    )
+    plan = _plan(conversation_verdicts(v, fatal_reasons=("duplicate",)))
+    assert plan.count("Exchange") >= 1
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" not in read, read
