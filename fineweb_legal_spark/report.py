@@ -16,6 +16,8 @@ that when given --input.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -160,4 +162,90 @@ def merge_cards(cards: list[dict]) -> dict:
         ),
         "lang_mix": _merge_counts("lang_mix"),
         "ppl_histogram": _merge_counts("ppl_histogram"),
+    }
+
+
+def _shares(counts: dict) -> dict:
+    total = sum(counts.values())
+    return {k: v / total for k, v in counts.items()} if total else {}
+
+
+def _js_divergence(p: dict, q: dict) -> float:
+    """Jensen-Shannon divergence (base-2, in [0, 1]) between two count
+    histograms — symmetric and finite even when supports differ."""
+    ps, qs = _shares(p), _shares(q)
+    if not ps or not qs:
+        return 1.0 if ps or qs else 0.0
+    keys = set(ps) | set(qs)
+    js = 0.0
+    for k in keys:
+        a, b = ps.get(k, 0.0), qs.get(k, 0.0)
+        m = (a + b) / 2
+        if a:
+            js += a * math.log2(a / m) / 2
+        if b:
+            js += b * math.log2(b / m) / 2
+    return js
+
+
+def diff_cards(
+    old: dict,
+    new: dict,
+    max_kept_frac_drift: float = 0.05,
+    max_lang_share_drift: float = 0.05,
+    max_ppl_js: float = 0.1,
+) -> dict:
+    """Distribution-level release gate between two data cards — the
+    card-shaped complement of operators/diff.corpus_diff (row-level).
+    Catches what a row diff can't see cheaply: the NEW crawl slice that
+    shifts the language mix, a scorer change that moves the perplexity
+    histogram, a filter regression that silently drops the kept
+    fraction. Pure Python over two published cards: no Spark job, no
+    rescan.
+
+    Returns per-signal drift values plus an overall ``ok``; thresholds
+    are keyword-tunable and recorded in the result so the gate's
+    configuration ships with its verdict."""
+    kept_drift = abs(
+        (new.get("kept_frac") or 0.0) - (old.get("kept_frac") or 0.0)
+    )
+    lang_old, lang_new = (
+        _shares(old.get("lang_mix", {})),
+        _shares(new.get("lang_mix", {})),
+    )
+    lang_drifts = {
+        k: round(abs(lang_new.get(k, 0.0) - lang_old.get(k, 0.0)), 6)
+        for k in sorted(set(lang_old) | set(lang_new))
+    }
+    max_lang = max(lang_drifts.values(), default=0.0)
+    ppl_js = _js_divergence(
+        old.get("ppl_histogram", {}), new.get("ppl_histogram", {})
+    )
+    reject_old, reject_new = (
+        _shares(old.get("rejects", {})),
+        _shares(new.get("rejects", {})),
+    )
+    reject_drifts = {
+        k: round(abs(reject_new.get(k, 0.0) - reject_old.get(k, 0.0)), 6)
+        for k in sorted(set(reject_old) | set(reject_new))
+    }
+    ok = (
+        kept_drift <= max_kept_frac_drift
+        and max_lang <= max_lang_share_drift
+        and ppl_js <= max_ppl_js
+    )
+    return {
+        "ok": ok,
+        "turns_old": old.get("turns"),
+        "turns_new": new.get("turns"),
+        "kept_frac_drift": round(kept_drift, 6),
+        "lang_share_drifts": lang_drifts,
+        "max_lang_share_drift": round(max_lang, 6),
+        "reject_share_drifts": reject_drifts,
+        "ppl_js_divergence": round(ppl_js, 6),
+        "thresholds": {
+            "max_kept_frac_drift": max_kept_frac_drift,
+            "max_lang_share_drift": max_lang_share_drift,
+            "max_ppl_js": max_ppl_js,
+        },
     }
