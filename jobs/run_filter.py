@@ -42,6 +42,14 @@ def main() -> None:
     spark = get_spark(master=args.master, app_name="fineweb_legal_filter")
 
     if args.streaming:
+        # FileStreamSource requires a directory to tail; a single parquet
+        # FILE (fine for batch mode) fails deep inside the first
+        # micro-batch with "Option 'basePath' must be a directory"
+        if Path(args.input).is_file():
+            raise SystemExit(
+                f"--streaming input must be a directory to tail, got the "
+                f"file {args.input!r}; batch mode accepts files"
+            )
         from fineweb_legal_spark.streaming.filter_stream import start_filter_stream
 
         q = start_filter_stream(
