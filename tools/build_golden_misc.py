@@ -142,6 +142,19 @@ def build_pseudonymize(out: Path) -> None:
 
 
 def main() -> None:
+    # an explicit sf-dir argument builds ONLY the sf-dependent goldens
+    # (langid, LSH-ANN) for that scale under golden/<sf-name>/ — this is
+    # how check_correctness gets hash-verifiable oracles at sf0.1 (it
+    # rewrites the golden path in the oracle SQL when the dir exists)
+    global SF_DIR
+    if len(sys.argv) > 1:
+        SF_DIR = sys.argv[1]
+        out = DATA_DIR / "golden" / Path(SF_DIR).name
+        out.mkdir(parents=True, exist_ok=True)
+        build_langid(out)
+        build_ann(out)
+        print("sf goldens written to", out)
+        return
     out = DATA_DIR / "golden" / "sf0.01"
     out.mkdir(parents=True, exist_ok=True)
     build_langid(out)

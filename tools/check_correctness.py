@@ -56,6 +56,20 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # a few oracles verify against golden fixtures built per scale
+    # factor; when checking a non-default sf, point them at that sf's
+    # goldens (tools/build_golden_misc.py <sf_dir> builds them) or fall
+    # back to a rows-only check rather than a guaranteed-stale compare
+    sf_name = Path(sf_dir).name
+    if sf_name != "sf0.01":
+        alt = Path(__file__).resolve().parent.parent / "data" / "golden" / sf_name
+        for name, sql in list(oracles.items()):
+            if "golden/sf0.01" in sql:
+                if alt.exists():
+                    oracles[name] = sql.replace("golden/sf0.01", f"golden/{sf_name}")
+                else:
+                    del oracles[name]
+                    print(f"NOTE {name}: sf0.01-pinned golden, rows-only at {sf_name}")
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
