@@ -1030,7 +1030,20 @@ def q_mixture_sample_docs(spark, sf_dir):
 
     fixed = mixture_sample(d, _MIXTURE_RATES, default_rate=_MIXTURE_DEFAULT)
     alpha = temperature_mixture(d, alpha=0.5)
-    return report(fixed, "fixed").unionByName(report(alpha, "alpha05"))
+
+    # "dsir" = importance resampling toward a target slice (every-13th
+    # doc), Gumbel-top-100 over hashed-trigram log-likelihood ratios
+    # (operators/dsir.py — Xie et al. 2023); oracle = single-node numpy
+    # twin's golden (tools/build_golden_misc.py build_dsir, same K/mod)
+    from fineweb_legal_spark.operators.dsir import dsir_resample
+
+    target = d.filter(F.col("doc_id") % 13 == 0)
+    sel = dsir_resample(spark, d, target, k=100)
+    return (
+        report(fixed, "fixed")
+        .unionByName(report(alpha, "alpha05"))
+        .unionByName(report(sel, "dsir"))
+    )
 
 
 def q_decontaminate_docs(spark, sf_dir):
@@ -1936,6 +1949,11 @@ def _mixture_oracle_sql() -> str:
         SELECT 'alpha05' AS config, source, count(*) AS kept,
                CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
         FROM akept GROUP BY source
+        UNION ALL
+        SELECT 'dsir' AS config, source, count(*) AS kept,
+               CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+        FROM read_parquet('{DATA_DIR}/golden/sf0.01/dsir_selected.parquet')
+        GROUP BY source
     """
 
 

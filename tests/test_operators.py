@@ -2702,3 +2702,38 @@ def test_conversation_verdicts_rollup_and_duckdb_twin(spark):
     """).fetchall()
     twin = {c: (t, k, f, ft, ck) for c, t, k, f, ft, ck in want}
     assert twin == got
+
+
+def test_dsir_resample_prefers_target_like_docs(spark):
+    # two disjoint trigram styles; target = style A. With long texts the
+    # log-likelihood-ratio gap (hundreds of nats) dwarfs the Gumbel noise
+    # (~+-5), so the top-k must be exactly the style-A population.
+    from fineweb_legal_spark.operators.dsir import dsir_resample
+
+    rows = []
+    for i in range(200):
+        style = "abcdefg " if i % 2 == 0 else "zyxwvut "
+        rows.append((i, style * 40, "sA" if i % 2 == 0 else "sB"))
+    d = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    target = d.filter(F.col("doc_id") % 2 == 0).limit(20)
+    sel = dsir_resample(spark, d, target, k=50).toPandas()
+    assert len(sel) == 50
+    assert set(sel.source) == {"sA"}
+    # deterministic: identical selection on a re-run over a repartitioned
+    # input (partitioning- and batching-independence of the float path)
+    again = dsir_resample(spark, d.repartition(13), target, k=50).toPandas()
+    assert sorted(sel.doc_id) == sorted(again.doc_id)
+
+
+def test_dsir_keys_null_handling(spark):
+    from fineweb_legal_spark.operators.dsir import dsir_keys, fit_dsir_diff
+
+    d = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (None, "dropped")],
+        ["doc_id", "text"],
+    )
+    diff = fit_dsir_diff(spark, d, d.filter(F.col("doc_id") == 1))
+    got = dsir_keys(d, diff).toPandas()
+    # null id dropped; null text -> finite pure-Gumbel key
+    assert sorted(got.doc_id) == [1, 2]
+    assert got.dsir_key.notna().all()

@@ -44,6 +44,9 @@ from fineweb_legal_spark.operators.similarity import (  # noqa: E402
 SF_DIR = "/root/testdata/sf0.01"
 ANN_QUERY_IDS = list(range(10))
 ANN_K = 5
+# mirrored by q_mixture_sample_docs' dsir config (__spark_entry__.py)
+DSIR_K = 100
+DSIR_TARGET_MOD = 13
 
 
 def build_langid(out: Path) -> None:
@@ -81,6 +84,55 @@ def build_ann(out: Path) -> None:
             rows["rank"].append(rank)
             rows["cos_sim"].append(float(-negc))
     pd.DataFrame(rows).to_parquet(out / "lsh_ann.parquet", index=False)
+
+
+def build_dsir(out: Path) -> None:
+    """Single-node twin of operators/dsir.dsir_resample over the sf
+    documents: numpy-only replay of the identical float path — integer
+    trigram counts (exactly equal to the distributed sparse reduction),
+    smoothed log-prob difference, one reduceat weigh pass, hash-derived
+    Gumbel keys, top-DSIR_K. The library-code caveat in this file's
+    docstring applies (plumbing/determinism check; independent semantics
+    fixtures live in tests/test_operators.py)."""
+    import hashlib
+
+    from fineweb_legal_spark.artifacts import _HASH_SLOTS, _batch_trigrams
+    from fineweb_legal_spark.operators.lm import logprob_table
+    from fineweb_legal_spark.spec import PPL_PREFIX_CHARS
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    docs = docs[docs["doc_id"].notna()].reset_index(drop=True)
+
+    def counts_of(texts) -> np.ndarray:
+        sel = [t for t in texts if t is not None]
+        if not sel:
+            return np.zeros(_HASH_SLOTS, dtype=np.int64)
+        h, _, _ = _batch_trigrams(sel, PPL_PREFIX_CHARS)
+        return np.bincount(h, minlength=_HASH_SLOTS)
+
+    raw_c = counts_of(docs["text"])
+    tgt_c = counts_of(docs[docs["doc_id"] % DSIR_TARGET_MOD == 0]["text"])
+    diff = logprob_table(tgt_c) - logprob_table(raw_c)
+
+    texts = ["" if t is None else t for t in docs["text"]]
+    h, starts, counts = _batch_trigrams(texts, PPL_PREFIX_CHARS)
+    logw = np.zeros(len(texts), dtype=np.float64)
+    if h.size:
+        logw[counts > 0] = np.add.reduceat(diff[h], starts)
+    v = np.array(
+        [
+            int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+            for i in docs["doc_id"]
+        ],
+        dtype=np.float64,
+    )
+    key = logw - np.log(-np.log((v + 0.5) / float(16**8)))
+    sel = sorted(
+        zip(-key, docs["doc_id"].astype(int), docs["source"]),
+    )[:DSIR_K]
+    pd.DataFrame(
+        {"doc_id": [d for _, d, _ in sel], "source": [s for _, _, s in sel]}
+    ).to_parquet(out / "dsir_selected.parquet", index=False)
 
 
 def build_media(out: Path) -> None:
@@ -153,12 +205,14 @@ def main() -> None:
         out.mkdir(parents=True, exist_ok=True)
         build_langid(out)
         build_ann(out)
+        build_dsir(out)
         print("sf goldens written to", out)
         return
     out = DATA_DIR / "golden" / "sf0.01"
     out.mkdir(parents=True, exist_ok=True)
     build_langid(out)
     build_ann(out)
+    build_dsir(out)
     mout = DATA_DIR / "golden" / "media_t1"
     mout.mkdir(parents=True, exist_ok=True)
     build_media(mout)
