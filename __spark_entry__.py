@@ -1500,7 +1500,7 @@ def q_topk_groups(spark, sf_dir):
     return a.unionByName(b)
 
 
-def q_text_analysis_docs(spark, sf_dir):
+def _text_analysis_wide(spark, sf_dir):
     # language-ID + quality score + fingerprint + token counts in ONE
     # pass: the native projections compute inline, then the Arrow langid
     # UDF passes the scalar columns through (keep_cols) — no join back on
@@ -1548,6 +1548,20 @@ def q_text_analysis_docs(spark, sf_dir):
             "newline_word_frac",
         ),
     )
+
+
+def q_text_analysis_docs(spark, sf_dir):
+    # the per-row analysis pass above, plus ONE corpus-global scalar that
+    # cannot come from a projection: interpolated Kneser-Ney bigram
+    # perplexity under an LM trained on this same corpus
+    # (operators/knlm.py — its aggregation+join-back is inherent, unlike
+    # the row-local signal columns). Oracle: from-scratch SQL
+    # re-derivation of the full KN estimate, not a golden twin.
+    from fineweb_legal_spark.operators.knlm import kn_doc_perplexity
+
+    d = _t(spark, sf_dir, "documents")
+    wide = _text_analysis_wide(spark, sf_dir)
+    return wide.join(kn_doc_perplexity(d), "doc_id")
 
 
 def q_json_softmax_events(spark, sf_dir):
@@ -3572,11 +3586,61 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT * FROM ({b['distinct_sources_docs']})"
         f" CROSS JOIN ({b['word_char_totals_docs']})"
     )
+    # from-scratch SQL re-derivation of operators/knlm.py: interpolated
+    # Kneser-Ney bigram LM (D=0.75, top-512 vocab, OOV -> chr(0)) fit on
+    # the corpus, per-doc ppl = exp(-avg ln p); <2-token docs = 1.0
+    kn_sql = """
+        WITH lists AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                     '[ \t\n\r\f\x0b]+'), x -> x <> '') AS lst
+          FROM documents WHERE text IS NOT NULL
+        ),
+        words AS (SELECT doc_id, unnest(lst) AS w FROM lists),
+        vocab AS (
+          SELECT w FROM (SELECT w, count(*) AS c FROM words GROUP BY w)
+          ORDER BY c DESC, w LIMIT 512
+        ),
+        bi0 AS (
+          SELECT doc_id,
+                 unnest(lst[1:len(lst)-1]) AS w1,
+                 unnest(lst[2:len(lst)]) AS w2
+          FROM lists
+        ),
+        bi AS (
+          SELECT doc_id,
+                 CASE WHEN v1.w IS NULL THEN chr(0) ELSE b.w1 END AS m1,
+                 CASE WHEN v2.w IS NULL THEN chr(0) ELSE b.w2 END AS m2
+          FROM bi0 b LEFT JOIN vocab v1 ON v1.w = b.w1
+                     LEFT JOIN vocab v2 ON v2.w = b.w2
+        ),
+        types AS (SELECT m1, m2, count(*) AS c12 FROM bi GROUP BY m1, m2),
+        lft AS (SELECT m1, sum(c12) AS c1, count(*) AS n1p_left
+                FROM types GROUP BY m1),
+        rgt AS (SELECT m2, count(*) AS n1p_right FROM types GROUP BY m2),
+        tot AS (SELECT count(*) AS n1p_all FROM types),
+        prob AS (
+          SELECT t.m1, t.m2,
+                 (greatest(t.c12 - 0.75, 0.0)
+                  + 0.75 * l.n1p_left
+                    * (r.n1p_right / CAST(tot.n1p_all AS DOUBLE)))
+                 / CAST(l.c1 AS DOUBLE) AS p
+          FROM types t JOIN lft l USING (m1) JOIN rgt r USING (m2), tot
+        ),
+        scored AS (
+          SELECT bi.doc_id, exp(-avg(ln(p.p))) AS ppl
+          FROM bi JOIN prob p USING (m1, m2)
+          GROUP BY bi.doc_id
+        )
+        SELECT d.doc_id, round(coalesce(s.ppl, 1.0), 4) AS kn_ppl
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+    """
     o["text_analysis_docs"] = f"""
         SELECT l.doc_id, l.pred_lang, q.quality_score, f.fingerprint,
                t.ws_tokens, t.bpe_ish_tokens,
                s.alpha_word_frac, s.bullet_line_frac, s.ellipsis_line_frac,
-               s.punct_line_frac, s.short_line_frac, s.newline_word_frac
+               s.punct_line_frac, s.short_line_frac, s.newline_word_frac,
+               kn.kn_ppl
         FROM ({b['langid_docs']}) l
         JOIN ({b['quality_score_docs']}) q USING (doc_id)
         JOIN ({b['fingerprint_docs']}) f ON f.doc_id = l.doc_id
@@ -3612,6 +3676,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS newline_word_frac
             FROM documents
         ) s ON s.doc_id = l.doc_id
+        JOIN ({kn_sql}) kn ON kn.doc_id = l.doc_id
     """
     o["json_softmax_events"] = f"""
         SELECT j.event_id, j.k, s.score, s.label, s.is_legal

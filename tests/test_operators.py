@@ -2737,3 +2737,65 @@ def test_dsir_keys_null_handling(spark):
     # null id dropped; null text -> finite pure-Gumbel key
     assert sorted(got.doc_id) == [1, 2]
     assert got.dsir_key.notna().all()
+
+
+def test_kn_doc_perplexity_matches_independent_python(spark):
+    # from-scratch dict-based interpolated-KN twin (no shared kernels,
+    # no SQL) over a small corpus with a forced-unk vocabulary
+    from collections import Counter
+
+    from fineweb_legal_spark.operators.knlm import kn_doc_perplexity
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "a cat and a dog"),
+        (4, "singleton"),
+        (5, None),
+        (6, "the cat sat"),
+    ]
+    V, D, UNK = 6, 0.75, "\x00"
+    toks = {i: t.lower().split() for i, t in docs if t is not None}
+    wc = Counter(w for ws in toks.values() for w in ws)
+    vocab = set(
+        w for w, _ in sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    )
+    m = {i: [w if w in vocab else UNK for w in ws] for i, ws in toks.items()}
+    bigrams = {i: list(zip(ws, ws[1:])) for i, ws in m.items()}
+    c12 = Counter(b for bs in bigrams.values() for b in bs)
+    c1 = Counter()
+    n1p_left = Counter()
+    n1p_right = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        n1p_left[w1] += 1
+        n1p_right[w2] += 1
+    n1p_all = len(c12)
+
+    def p(w1, w2):
+        return (
+            max(c12[(w1, w2)] - D, 0.0)
+            + D * n1p_left[w1] * (n1p_right[w2] / n1p_all)
+        ) / c1[w1]
+
+    import math
+
+    want = {}
+    for i, _ in docs:
+        bs = bigrams.get(i, [])
+        if not bs:
+            want[i] = 1.0
+        else:
+            want[i] = round(
+                math.exp(-sum(math.log(p(*b)) for b in bs) / len(bs)), 4
+            )
+
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.kn_ppl
+        for r in kn_doc_perplexity(d, vocab_size=V, discount=D).collect()
+    }
+    assert got == want
+    # sanity: real smoothing happened (not all 1.0), unk-folding engaged
+    assert any(v != 1.0 for v in got.values())
+    assert len(wc) > V
