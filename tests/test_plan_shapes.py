@@ -176,14 +176,29 @@ def test_registry_fits_driver_budget_and_has_oracle_parity():
     )
 
 
-def test_text_analysis_is_one_pass_no_join(spark, queries):
+def test_text_analysis_wide_branch_is_one_pass_no_join(spark):
     # round-4 consolidation contract: langid + native projections compose
     # in ONE Arrow pass with the scalars passed through keep_cols — a
     # regression to the join-back-on-doc_id shape would shuffle the corpus
-    plan = _plan(queries["text_analysis_docs"](spark, SF_DIR))
+    from __spark_entry__ import _text_analysis_wide
+
+    plan = _plan(_text_analysis_wide(spark, SF_DIR))
     assert plan.count(") MapInPandas") == 1
     for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"):
         assert node not in plan, node
+
+
+def test_text_analysis_full_query_single_arrow_stage_no_cartesian(spark, queries):
+    # the KN-perplexity branch joined on top of the wide branch is
+    # JVM-native: it must add ZERO Python boundaries (still exactly one
+    # MapInPandas — the langid UDF), no row-at-a-time Python UDF, and its
+    # joins must all be key equi-joins (never a cartesian). The doc_id
+    # join-back itself is inherent — an LM trained on the corpus cannot
+    # be a row-local projection (see docs/PLANS.md `text_analysis_docs`).
+    plan = _plan(queries["text_analysis_docs"](spark, SF_DIR))
+    assert plan.count(") MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert ") CartesianProduct" not in plan
 
 
 def test_neardup_pairs_has_no_cartesian_on_t1(spark, queries):

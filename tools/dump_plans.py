@@ -124,8 +124,14 @@ PICKS = {
         "Round-4 consolidation shape: langid + quality + fingerprint + "
         "token counts in ONE scan — the native projections compute below "
         "the Arrow langid UDF, which passes the scalar columns through "
-        "(keep_cols). The audit point: one MapInPandas, NO join back on "
-        "doc_id, no second scan of the corpus."
+        "(keep_cols); plus the interpolated-KN bigram perplexity "
+        "(operators/knlm.py), whose aggregation+join-back is inherent: "
+        "an LM trained on the corpus cannot be a row-local projection. "
+        "Audit points: the wide branch stays one MapInPandas with no "
+        "doc_id join-back; the KN branch's exchanges are all on "
+        "word/bigram KEYS (map-side-combinable counts over the "
+        "vocab-capped type frame, ≤V²+V rows) plus the final doc_id "
+        "join of the per-doc score — text itself is never shuffled."
     ),
     "value_stats_events": (
         "Round-4 consolidation shape: moments + exact percentile + "
