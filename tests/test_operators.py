@@ -2799,3 +2799,39 @@ def test_kn_doc_perplexity_matches_independent_python(spark):
     # sanity: real smoothing happened (not all 1.0), unk-folding engaged
     assert any(v != 1.0 for v in got.values())
     assert len(wc) > V
+
+
+def test_compression_signals_match_independent_zlib(spark):
+    import zlib
+
+    from fineweb_legal_spark.operators.textql import (
+        compression_signals,
+        filter_compression,
+    )
+
+    prose = (
+        "The appellate court reviewed the statutory framework governing "
+        "maritime liens and concluded the district judge erred in part."
+    )
+    filler = "buy now " * 400
+    blob = bytes(range(256)).hex()
+    docs = [(1, prose), (2, filler), (3, blob), (4, None), (5, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {
+        r.doc_id: r.compression_ratio
+        for r in compression_signals(df).collect()
+    }
+    for i, t in docs:
+        if not t:
+            assert got[i] is None, i
+        else:
+            b = t.encode("utf-8")
+            assert got[i] == round(len(zlib.compress(b, 6)) / len(b), 6), i
+    # the two tails are separable from prose by the default band
+    flt = {
+        r.doc_id: r.comp_reject_reason for r in filter_compression(df).collect()
+    }
+    assert flt[1] is None
+    assert flt[2] == "comp_ratio_low"
+    assert flt[4] is None and flt[5] is None

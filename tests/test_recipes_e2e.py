@@ -214,3 +214,51 @@ def _w():
     from pyspark.sql import Window
 
     return Window.partitionBy("conv_id").orderBy("turn_idx")
+
+
+def test_tokenizer_to_shards_e2e(spark):
+    """RECIPES §5 tokenizer chain: train BPE on the corpus → publish the
+    merges as data → encode → shard on REAL token counts. Pins that
+    encode_bpe's output schema feeds assign_token_shards(tok_col=...) and
+    that every shard except the last respects the token budget."""
+    from fineweb_legal_spark.operators.bpe import (
+        encode_bpe,
+        merges_table,
+        model_from_table,
+        train_bpe,
+    )
+    from fineweb_legal_spark.sources.shards import assign_token_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    model = train_bpe(docs, num_merges=200, max_word_types=5000)
+    # the synthetic corpus has a small closed vocabulary: merges EXHAUST
+    # (every word fully merged) before the 200 budget — itself a useful
+    # pin that the trainer stops rather than looping on zero counts
+    assert 0 < len(model.merges) <= 200
+
+    # round-trip through the publishable artifact form
+    model = model_from_table(merges_table(spark, model))
+
+    enc = encode_bpe(docs, model)
+    counts = enc.select("doc_id", "n_tokens")
+    joined = docs.select("doc_id").join(counts, "doc_id")
+    budget = 5_000
+    shards = assign_token_shards(joined, budget=budget, tok_col="n_tokens")
+
+    rows = (
+        shards.join(counts, "doc_id")
+        .orderBy("start_tok")
+        .select("doc_id", "shard_id", "start_tok", "n_tokens")
+        .collect()
+    )
+    # shard contract: shard = cumulative start position // budget, and the
+    # start positions are the exact running sum of the REAL token counts
+    run = 0
+    for r in rows:
+        assert r["start_tok"] == run
+        assert r["shard_id"] == run // budget
+        run += r["n_tokens"]
+    assert rows[-1]["shard_id"] >= 2  # real counts actually filled shards
+    # every doc landed in exactly one shard
+    assert shards.count() == docs.count()
+    assert shards.select("doc_id").distinct().count() == docs.count()
