@@ -254,3 +254,44 @@ def encode_bpe(
     return src.withColumn(id_col, F.col(id_col).cast("string")).mapInPandas(
         fn, schema=schema
     )
+
+
+def tokenizer_stats(
+    df: DataFrame,
+    model: BpeModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """One-row tokenizer acceptance report over a corpus sample:
+    ``fertility`` (tokens per whitespace word — the standard subword
+    metric; 1.0 = every word is a single token), ``bytes_per_token``
+    (UTF-8 corpus bytes per token — the cross-vocab-size comparable),
+    plus the raw totals. All aggregation is JVM-native over the
+    encode_bpe output; run it on a hash sample, not the full corpus —
+    the estimate converges long before 10^9 rows."""
+    enc = encode_bpe(df, model, text_col=text_col, id_col=id_col)
+    text = F.col(text_col)
+    if lowercase:
+        text = F.lower(text)
+    words = F.size(
+        F.filter(F.split(text, WS_SPLIT), lambda x: x != F.lit(""))
+    )
+    base = df.select(
+        F.col(id_col).cast("string").alias(id_col),
+        F.when(F.col(text_col).isNotNull(), words)
+        .otherwise(F.lit(0))
+        .alias("n_words"),
+        F.coalesce(F.octet_length(text_col), F.lit(0)).alias("n_bytes"),
+    )
+    return (
+        enc.select(id_col, "n_tokens")
+        .join(base, id_col)
+        .agg(
+            F.sum("n_tokens").alias("tokens"),
+            F.sum("n_words").alias("words"),
+            F.sum("n_bytes").alias("bytes"),
+            (F.sum("n_tokens") / F.sum("n_words")).alias("fertility"),
+            (F.sum("n_bytes") / F.sum("n_tokens")).alias("bytes_per_token"),
+        )
+    )

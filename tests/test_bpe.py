@@ -164,3 +164,28 @@ def test_learn_merges_fuzz_against_naive(seed):
         counts[w] = counts.get(w, 0) + rng.randint(1, 9)
     k = rng.randint(1, 40)
     assert bpe.learn_merges(dict(counts), k) == naive_learn_merges(counts, k)
+
+
+def test_tokenizer_stats_totals(spark):
+    df = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    model = bpe.train_bpe(df, num_merges=25)
+    row = bpe.tokenizer_stats(df, model).collect()[0]
+    # independent recount: totals over non-null, non-empty docs
+    ranks = model.ranks()
+    toks = words = nbytes = 0
+    for _, text in CORPUS:
+        if text is None:
+            continue
+        nbytes += len(text.encode("utf-8"))  # raw corpus bytes, not lowered
+        for w in text.lower().split():
+            words += 1
+            toks += len(bpe.encode_word(w, ranks))
+    assert row["tokens"] == toks
+    assert row["words"] == words
+    assert row["bytes"] == nbytes
+    assert row["fertility"] == pytest.approx(toks / words)
+    assert row["bytes_per_token"] == pytest.approx(nbytes / toks)
+    # merged vocab strictly beats character segmentation
+    assert row["fertility"] < sum(
+        len(w) for _, t in CORPUS if t for w in t.lower().split()
+    ) / words
