@@ -255,3 +255,22 @@ def test_conversation_rollup_single_exchange_no_text(spark):
     assert plan.count("Exchange") >= 1
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     assert "text" not in read, read
+
+
+def test_bpe_word_count_is_partial_agg_single_exchange(spark):
+    # the tokenizer trainer's only corpus-scale stage: partial (map-side)
+    # count below ONE hash exchange on the word key, and the exchange
+    # carries (word, count) — never doc ids or full text rows
+    from fineweb_legal_spark.operators.bpe import word_counts
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(word_counts(docs))
+    # formatted output repeats node names in the detail section; count
+    # tree nodes only
+    tree = plan.split("\n\n")[0]
+    assert sum("Exchange (" in ln for ln in tree.splitlines()) == 1
+    assert "partial_count" in plan
+    assert "hashpartitioning(word" in plan
+    # column pruning reached the scan: only text is read
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "text" in read and "doc_id" not in read
