@@ -151,12 +151,41 @@ def learn_merges(counts: dict[str, int], num_merges: int) -> list[tuple[str, str
     return merges
 
 
+UNK_ID = 0
+EOD_ID = 1
+
+
 @dataclass(frozen=True)
 class BpeModel:
     merges: tuple[tuple[str, str], ...]
+    # base symbols (chars + char+EOW forms) observed in the training
+    # word-count table; empty for models trained before vocab support —
+    # those still encode to strings, they just can't mint integer ids
+    alphabet: tuple[str, ...] = ()
 
     def ranks(self) -> dict[tuple[str, str], int]:
         return {p: r for r, p in enumerate(self.merges)}
+
+    def vocab(self) -> dict[str, int]:
+        """token string -> integer id. Layout is a pure function of the
+        model: 0 = UNK (symbols unseen at train time), 1 = EOD (the
+        document separator seqpack appends), then the sorted base
+        alphabet, then one id per merge in merge order. Duplicate
+        strings keep their FIRST id (a merge product can collide with a
+        base symbol only if the corpus text itself contains the EOW
+        mark; first-wins keeps the mapping total and deterministic)."""
+        out: dict[str, int] = {}
+        nxt = 2
+        for s in sorted(self.alphabet):
+            if s not in out:
+                out[s] = nxt
+                nxt += 1
+        for a, b in self.merges:
+            j = a + b
+            if j not in out:
+                out[j] = nxt
+                nxt += 1
+        return out
 
 
 def train_bpe(
@@ -171,21 +200,40 @@ def train_bpe(
     ``max_word_types`` rows of (word, long)."""
     rows = word_counts(df, text_col, lowercase, max_word_types).collect()
     table = {r["word"]: r["n"] for r in rows}
-    return BpeModel(tuple(learn_merges(table, num_merges)))
+    alphabet = sorted({s for w in table for s in _segment(w)})
+    return BpeModel(tuple(learn_merges(table, num_merges)), tuple(alphabet))
 
 
 def merges_table(spark: SparkSession, model: BpeModel) -> DataFrame:
     """(rank, left, right) — the publishable artifact form (pairs with
     tools/train_ivf.py's centroid-parquet convention: the model ships as
-    data, not pickled code)."""
-    rows = [(r, a, b) for r, (a, b) in enumerate(model.merges)]
+    data, not pickled code). Base-alphabet symbols ride along as
+    rank = -(i+1) rows (left = symbol, right = '') so one parquet file
+    round-trips the whole model; tables written before vocab support
+    simply have no negative ranks and load with an empty alphabet."""
+    rows = [(r, a, b) for r, (a, b) in enumerate(model.merges)] + [
+        (-(i + 1), s, "") for i, s in enumerate(model.alphabet)
+    ]
     return spark.createDataFrame(rows, "rank int, left string, right string")
 
 
 def model_from_table(df: DataFrame) -> BpeModel:
     rows = df.select("rank", "left", "right").collect()
     rows.sort(key=lambda r: r["rank"])
-    return BpeModel(tuple((r["left"], r["right"]) for r in rows))
+    merges = tuple((r["left"], r["right"]) for r in rows if r["rank"] >= 0)
+    alphabet = tuple(r["left"] for r in rows if r["rank"] < 0)[::-1]
+    return BpeModel(merges, alphabet)
+
+
+def vocab_table(spark: SparkSession, model: BpeModel) -> DataFrame:
+    """(id, token) — the trained vocabulary as data (loader-side detok /
+    embedding-table sizing). UNK and EOD appear as '<unk>' / '<eod>'
+    markers purely for display; inside the engine they are ids, never
+    strings the tokenizer could produce."""
+    rows = [(UNK_ID, "<unk>"), (EOD_ID, "<eod>")] + [
+        (i, t) for t, i in model.vocab().items()
+    ]
+    return spark.createDataFrame(rows, "id int, token string")
 
 
 def encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
@@ -251,6 +299,61 @@ def encode_bpe(
 
     src = df.select(id_col, text_col)
     schema = f"{id_col} string, tokens array<string>, n_tokens int"
+    return src.withColumn(id_col, F.col(id_col).cast("string")).mapInPandas(
+        fn, schema=schema
+    )
+
+
+def encode_ids(
+    df: DataFrame,
+    model: BpeModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """(id, ids array<int>, n_tokens) — ``encode_bpe`` composed with the
+    model's integer vocabulary in the same single mapInPandas pass (the
+    per-batch memo caches the ID list per distinct word, so the vocab
+    lookup is paid once per word type per batch). Symbols outside the
+    training alphabet map to ``UNK_ID``; ``EOD_ID`` is reserved for
+    seqpack's document separator and never produced here."""
+    import pandas as pd
+
+    ranks = model.ranks()
+    vocab = model.vocab()
+    ws = re.compile("[ \t\n\r\f\x0b]+")
+
+    def fn(batches):
+        for pdf in batches:
+            cache: dict[str, list[int]] = {}
+            ids_col = []
+            for text in pdf[text_col]:
+                if text is None:
+                    ids_col.append([])
+                    continue
+                if lowercase:
+                    text = text.lower()
+                ids: list[int] = []
+                for w in ws.split(text):
+                    if not w:
+                        continue
+                    got = cache.get(w)
+                    if got is None:
+                        got = cache[w] = [
+                            vocab.get(t, UNK_ID) for t in encode_word(w, ranks)
+                        ]
+                    ids.extend(got)
+                ids_col.append(ids)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ids": ids_col,
+                    "n_tokens": [len(t) for t in ids_col],
+                }
+            )
+
+    src = df.select(id_col, text_col)
+    schema = f"{id_col} string, ids array<int>, n_tokens int"
     return src.withColumn(id_col, F.col(id_col).cast("string")).mapInPandas(
         fn, schema=schema
     )
