@@ -16,19 +16,33 @@ determinism/shuffle trade:
 
 - ``mode="exact"`` — the sequence stream is a PURE FUNCTION of the
   corpus: global order = md5(seed || doc_id) (the repo-wide
-  deterministic-shuffle convention), global token offsets via the same
-  distributed prefix sum as sources/shards.py (range repartition +
-  in-partition sort; per-partition totals through an unpartitioned
-  window over the one-row-per-partition frame; offsets broadcast back),
-  then each document emits one (seq_id, start, piece) sliver per
-  sequence it touches and a hash exchange on seq_id reassembles them
-  JVM-natively (array_sort + flatten over collect_list — piece starts
-  within one sequence are distinct by construction, so the sort key is
-  total). Cost at scale: the token stream crosses the wire twice (the
-  range exchange that establishes the order, the seq_id exchange that
-  reassembles) — the floor for exact global chunking, since tokens must
-  move to the sequence that owns them. Identical output at any
-  parallelism; resumable loaders can address sequences by seq_id.
+  deterministic-shuffle convention), global token offsets via a
+  distributed prefix sum, then each document emits one
+  (seq_id, start, piece) sliver per sequence it touches and a hash
+  exchange on seq_id reassembles them JVM-natively (array_sort +
+  flatten over collect_list — piece starts within one sequence are
+  distinct by construction, so the sort key is total). Cost at scale:
+  the token stream crosses the wire twice (the bucket exchange that
+  establishes the order, the seq_id exchange that reassembles) — the
+  floor for exact global chunking, since tokens must move to the
+  sequence that owns them. Identical output at any parallelism;
+  resumable loaders can address sequences by seq_id.
+
+  The prefix sum's partition id is NOT ``spark_partition_id()`` over a
+  ``repartitionByRange`` — it is derived from the DATA: bucket =
+  floor(int(md5[:8], 16) * P / 2^32), a monotone pure function of the
+  sort key (md5 keys are uniform, so buckets are balanced range
+  partitions with zero sampling). This matters for correctness, not
+  style: the per-bucket totals and the data pass are two separate
+  executions of the plan, and Spark's RangePartitioner samples its
+  boundaries with an RDD-id-dependent seed — column pruning makes the
+  two subplans differ, ReuseExchange cannot unify them, and the two
+  executions get DIFFERENT boundaries, silently mis-aligning the
+  broadcast offsets (measured at 2M rows: ~3% of sequences mis-sized).
+  A data-derived bucket is identical in every execution by
+  construction; the emitter resets its running sum at bucket
+  boundaries, so physical partition layout (hash placement, AQE
+  coalescing) is irrelevant.
 - ``mode="partition"`` — zero additional exchange: one mapInPandas
   chunks each input partition's concatenated stream locally, carrying
   the remainder across Arrow batches; each partition's ragged tail
@@ -73,19 +87,24 @@ _SEQ_SCHEMA = T.StructType(
 
 
 def _piece_fn(seq_len: int, eod_id: int):
-    """Per-partition sliver emitter for exact mode. Rows arrive in the
-    in-partition sort order; the running local sum plus the broadcast
-    partition offset is the exact global offset (prefix sums are
-    associative — same argument as sources/shards._cumshard_fn)."""
+    """Sliver emitter for exact mode. Rows arrive sorted by
+    (_pid, _key); the running sum RESETS at every _pid boundary and the
+    row's broadcast bucket offset anchors it, so the computed global
+    offset is exact regardless of how buckets are placed on physical
+    partitions (prefix sums are associative within a bucket)."""
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         run = 0
+        cur_pid = None
         for pdf in it:
             seqs: list[int] = []
             starts: list[int] = []
             pieces: list[list[int]] = []
             offs = pdf["_off"].to_numpy(dtype="int64")
-            for toks, off in zip(pdf["ids"], offs):
+            pids = pdf["_pid"].to_numpy(dtype="int64")
+            for toks, off, pid in zip(pdf["ids"], offs, pids):
+                if pid != cur_pid:
+                    cur_pid, run = pid, 0
                 toks = [] if toks is None else list(toks)
                 toks.append(eod_id)
                 g = int(off) + run
@@ -153,7 +172,8 @@ def assemble_sequences(
     output or any (id, array<int>) frame). See the module docstring for
     the exact/partition trade; ``seed`` rotates exact mode's
     deterministic global order (distinct epochs), ``num_partitions``
-    sizes the range exchange."""
+    sets the prefix-sum bucket count (default: the session's shuffle
+    partitions; the OUTPUT is identical at any bucket count)."""
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     src = df.select(
@@ -174,27 +194,38 @@ def assemble_sequences(
     # null doc ids have no deterministic place in the global order —
     # dropped, the hash_sample/shards contract
     src = src.filter(F.col("_sp_id").isNotNull())
+    n_buckets = num_partitions or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    key = F.md5(F.concat(F.lit(seed), F.col("_sp_id")))
+    # _pid = a data-derived, monotone, sampling-free range bucket of the
+    # md5 key (see module docstring: spark_partition_id over a sampled
+    # range exchange is NOT stable across the totals/data executions)
+    pid = F.floor(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+        * F.lit(int(n_buckets))
+        / F.lit(2**32)
+    ).cast("long")
     keyed = src.select(
-        F.md5(F.concat(F.lit(seed), F.col("_sp_id"))).alias("_key"),
+        key.alias("_key"),
+        pid.alias("_pid"),
         "ids",
         (n_ids + F.lit(1)).cast("long").alias("tok"),
     )
-    keyed = (
-        (
-            keyed.repartitionByRange(num_partitions, "_key")
-            if num_partitions
-            else keyed.repartitionByRange("_key")
-        )
-        .sortWithinPartitions("_key")
-        .withColumn("_pid", F.spark_partition_id())
-    )
+    data = keyed.repartition(n_buckets, "_pid")
     totals = keyed.groupBy("_pid").agg(F.sum("tok").alias("_total"))
     w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.withColumn(
         "_off", F.coalesce(F.sum("_total").over(w), F.lit(0))
     ).select("_pid", "_off")
-    pieces = keyed.join(F.broadcast(offsets), "_pid").mapInPandas(
-        _piece_fn(seq_len, eod_id), schema=_PIECE_SCHEMA
+    # the in-partition sort sits ABOVE the join, directly under
+    # mapInPandas: a sort below a join child is dead code to Catalyst
+    # (join output order is unspecified) and EliminateSorts removes it —
+    # observed as interleaved buckets reaching the emitter
+    pieces = (
+        data.join(F.broadcast(offsets), "_pid")
+        .sortWithinPartitions("_pid", "_key")
+        .mapInPandas(_piece_fn(seq_len, eod_id), schema=_PIECE_SCHEMA)
     )
     seqs = pieces.groupBy("seq_id").agg(
         F.flatten(

@@ -127,21 +127,25 @@ def test_exact_mode_exchanges_are_the_documented_two_plus_tiny(spark):
         .executedPlan()
         .toString()
     )
-    # the token stream crosses exactly two kinds of exchange: the range
-    # exchange on the md5 key (global order — printed twice because the
-    # totals branch shares the subtree; runtime exchange-reuse dedups it)
-    # and the seq_id reassembly; the only other partitionings allowed
-    # are the one-row-per-partition totals/offsets machinery (_pid hash,
-    # window SinglePartition)
+    # the token stream crosses exactly two kinds of exchange: the
+    # data-derived bucket hash (global order; NO sampled
+    # rangepartitioning anywhere — sampled boundaries diverge between
+    # the totals and data executions, the bug this plan shape pins) and
+    # the seq_id reassembly; the only other partitionings allowed are
+    # the tiny totals/offsets machinery (_pid partial agg, window
+    # SinglePartition)
     assert "hashpartitioning(seq_id" in plan
+    assert "rangepartitioning" not in plan
     for ln in plan.splitlines():
         s = ln.strip(" +:-")
-        if s.startswith("Exchange rangepartitioning"):
-            assert "_key" in ln, ln
-        elif s.startswith("Exchange hashpartitioning"):
+        if s.startswith("Exchange hashpartitioning"):
             assert "seq_id" in ln or "_pid" in ln, ln
         elif s.startswith("Exchange"):
             assert "SinglePartition" in ln, ln
+    # and the in-partition sort must sit above the join, directly under
+    # the piece emitter — EliminateSorts removes it below a join child
+    above_join = plan.split("BroadcastHashJoin")[0]
+    assert "Sort [_pid" in above_join
 
 
 def test_bpe_vocab_round_trip_and_ids(spark):

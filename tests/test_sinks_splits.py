@@ -122,3 +122,78 @@ def test_assign_token_shards_curriculum_order(spark):
     a = a.sort_values("doc_id").reset_index(drop=True)
     assert (a["shard_id"].diff().fillna(0) >= 0).all()
     assert a["shard_id"].iloc[0] == 0 and a["shard_id"].iloc[-1] > 0
+
+
+def test_prefix_sum_tiles_exactly_at_many_buckets(spark):
+    """Scale-regression pin for the distributed prefix sum (shards +
+    seqpack share the machinery): at 60k docs across MANY buckets the
+    start offsets must tile [0, total) exactly — no gaps, no overlaps.
+
+    This is the shape that caught two real bugs the 200-row fixtures
+    could not see: (a) spark_partition_id over a sampled range exchange
+    diverges between the totals and data executions (RangePartitioner
+    seeds by RDD id; column pruning defeats ReuseExchange), and (b)
+    EliminateSorts silently drops a sortWithinPartitions below a join
+    child, interleaving buckets at the emitter."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from fineweb_legal_spark.sources.shards import assign_token_shards
+
+    d = spark.range(60_000).select(
+        F.col("id").alias("doc_id"),
+        F.expr("repeat('w ', CAST(1 + pmod(id, 97) AS INT))").alias("text"),
+    )
+
+    def check(assignment):
+        pdf = (
+            assignment.join(
+                d.select(
+                    "doc_id",
+                    F.greatest(
+                        F.lit(1), F.floor(F.length("text") / 4)
+                    ).cast("long").alias("tok"),
+                ),
+                "doc_id",
+            )
+            .orderBy("start_tok")
+            .select("start_tok", "tok")
+            .toPandas()
+        )
+        starts = pdf["start_tok"].to_numpy()
+        toks = pdf["tok"].to_numpy()
+        assert starts[0] == 0
+        assert (starts[1:] == (starts + toks)[:-1]).all()
+        return int(toks.sum())
+
+    check(assign_token_shards(d, budget=1_000, num_partitions=64))
+    # curriculum path (sampled range exchange + persisted keyed frame)
+    check(
+        assign_token_shards(
+            d, budget=1_000, num_partitions=64, order_by=F.length("text")
+        )
+    )
+
+    # seqpack exact mode over the same corpus: full tiling into seq_len
+    from fineweb_legal_spark.operators.seqpack import assemble_sequences
+
+    enc = d.select(
+        "doc_id",
+        F.array_repeat(F.lit(2), (F.pmod("doc_id", 53) + 1).cast("int")).alias(
+            "ids"
+        ),
+    )
+    total = enc.agg(
+        F.sum(F.size("ids")).cast("long") + F.count(F.lit(1))
+    ).collect()[0][0]
+    got = assemble_sequences(
+        enc, seq_len=512, eod_id=1, keep_partial=True, num_partitions=64
+    ).agg(
+        F.count(F.lit(1)).alias("seqs"),
+        F.sum(F.size("ids")).alias("tok"),
+        F.sum((F.size("ids") == 512).cast("int")).alias("full"),
+        F.countDistinct("seq_id").alias("dseq"),
+    ).collect()[0]
+    assert got["tok"] == total
+    assert got["full"] == total // 512
+    assert got["seqs"] == got["dseq"] == total // 512 + (total % 512 > 0)

@@ -215,6 +215,28 @@ def _extra_builders() -> dict:
             survivors_broadcast=True,
         )
 
+    def seqpack_exact_plan(spark, _sf):
+        from fineweb_legal_spark.operators.seqpack import assemble_sequences
+
+        ids = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id",
+            F.sequence(F.lit(2), F.length(F.coalesce("text", F.lit("x"))) % 50 + 2)
+            .cast("array<int>")
+            .alias("ids"),
+        )
+        return assemble_sequences(ids, seq_len=128)
+
+    def seqpack_partition_plan(spark, _sf):
+        from fineweb_legal_spark.operators.seqpack import assemble_sequences
+
+        ids = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id",
+            F.sequence(F.lit(2), F.length(F.coalesce("text", F.lit("x"))) % 50 + 2)
+            .cast("array<int>")
+            .alias("ids"),
+        )
+        return assemble_sequences(ids, seq_len=128, mode="partition")
+
     def preference_pairs_plan(spark, _sf):
         from fineweb_legal_spark.operators.preference import preference_pairs
 
@@ -227,6 +249,31 @@ def _extra_builders() -> dict:
         return preference_pairs(cands, mode="best_vs_worst")
 
     return {
+        "seqpack_exact": (
+            "Fixed-length sequence assembly, exact mode (round 4): the "
+            "token stream crosses exactly two data exchanges — the hash "
+            "exchange on the DATA-DERIVED order bucket (floor(md5-prefix "
+            "* P / 2^32): monotone in the sort key, so NO sampled "
+            "rangepartitioning appears anywhere — sampled boundaries "
+            "diverge between the totals and data executions, the 2M-row "
+            "corruption this plan shape now pins) and the seq_id hash "
+            "exchange that reassembles slivers (array_sort+flatten, "
+            "JVM-native). The in-partition sort sits ABOVE the offsets "
+            "join, directly under the emitter (EliminateSorts removes it "
+            "below a join child). The _pid totals aggregate and the "
+            "SinglePartition window run on a bucket-count-sized frame. "
+            "This is the floor for exact global chunking: tokens must "
+            "move to the sequence that owns them.",
+            seqpack_exact_plan,
+        ),
+        "seqpack_partition": (
+            "Fixed-length sequence assembly, partition mode (round 4): "
+            "ZERO Exchange — one mapInPandas chunks each partition's "
+            "concatenated stream locally (remainder carried across Arrow "
+            "batches); the trade is per-partition ragged tails and a "
+            "partitioning-dependent (documented) output.",
+            seqpack_partition_plan,
+        ),
         "preference_pairs": (
             "DPO pair extraction (round 4): ONE hash exchange on the group "
             "key feeds both window orderings (argmax forward sort, argmin "
