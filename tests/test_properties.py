@@ -345,3 +345,101 @@ _WS_RE = re.compile(r"[ \t\n\r\f\x0b]+")
 def test_ascii_words_matches_oracle_boundary(text):
     want = [w for w in _WS_RE.split(text.lower()) if w]
     assert ascii_words(text) == want
+
+
+# ---------------------------------------------------------------------------
+# distributed prefix-sum kernels (sources/shards._cumshard_fn,
+# operators/seqpack._piece_fn): the segmented running sum must equal the
+# naive per-bucket cumulative sum for ANY chop of the sorted stream into
+# Arrow batches — the cross-batch bucket-boundary carry is exactly what
+# the 2M-row corruption hid from the small fixtures.
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _bucketed_stream(draw):
+    """A sorted (pid, tok) stream plus a random batch chop of it."""
+    n = draw(st.integers(min_value=1, max_value=60))
+    pids = sorted(draw(st.lists(st.integers(0, 6), min_size=n, max_size=n)))
+    toks = draw(
+        st.lists(st.integers(1, 9), min_size=n, max_size=n)
+    )
+    # random chop points -> list of batch lengths covering the stream
+    cuts = sorted(draw(st.sets(st.integers(1, n - 1), max_size=5))) if n > 1 else []
+    bounds = [0] + cuts + [n]
+    return pids, toks, [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+
+
+@given(_bucketed_stream())
+@settings(max_examples=200, deadline=None)
+def test_cumshard_segmented_carry_matches_naive(stream):
+    from fineweb_legal_spark.sources.shards import _cumshard_fn
+
+    pids, toks, batches = stream
+    offs = {p: 1000 * p for p in set(pids)}  # arbitrary distinct bucket offsets
+    budget = 7
+
+    def gen():
+        for a, b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": list(range(a, b)),
+                    "tok": toks[a:b],
+                    "_pid": pids[a:b],
+                    "_off": [offs[p] for p in pids[a:b]],
+                }
+            )
+
+    out = pd.concat(list(_cumshard_fn(budget)(gen())), ignore_index=True)
+    # naive reference: per-pid running sum over the unchopped stream
+    run: dict[int, int] = {}
+    want_start, want_shard = [], []
+    for p, t in zip(pids, toks):
+        s = offs[p] + run.get(p, 0)
+        want_start.append(s)
+        want_shard.append(s // budget)
+        run[p] = run.get(p, 0) + t
+    assert list(out["start_tok"]) == want_start
+    assert list(out["shard_id"]) == want_shard
+    assert list(out["doc_id"]) == list(range(len(pids)))
+
+
+@given(_bucketed_stream(), st.integers(2, 9))
+@settings(max_examples=200, deadline=None)
+def test_piece_fn_segmented_carry_matches_naive(stream, seq_len):
+    from fineweb_legal_spark.operators.seqpack import _piece_fn
+
+    pids, toks, batches = stream
+    eod = -1
+    # per-row token arrays: lengths tok-1 plus the EOD the emitter appends
+    ids = [[j % 5 for j in range(t - 1)] for t in toks]
+    offs = {p: 100 * p for p in set(pids)}
+
+    def gen():
+        for a, b in batches:
+            yield pd.DataFrame(
+                {
+                    "ids": ids[a:b],
+                    "_pid": pids[a:b],
+                    "_off": [offs[p] for p in pids[a:b]],
+                }
+            )
+
+    out = pd.concat(list(_piece_fn(seq_len, eod)(gen())), ignore_index=True)
+    # naive reference: rebuild every bucket's stream, chunk it globally
+    got: dict[int, dict[int, list]] = {}
+    for _, r in out.iterrows():
+        got.setdefault(int(r["seq_id"]), {})[int(r["start"])] = list(r["piece"])
+    want: dict[int, dict[int, list]] = {}
+    run: dict[int, int] = {}
+    for p, arr in zip(pids, ids):
+        toks_row = list(arr) + [eod]
+        g = offs[p] + run.get(p, 0)
+        run[p] = run.get(p, 0) + len(toks_row)
+        a = 0
+        while a < len(toks_row):
+            seq = (g + a) // seq_len
+            take = min(len(toks_row) - a, (seq + 1) * seq_len - (g + a))
+            want.setdefault(seq, {})[(g + a) - seq * seq_len] = toks_row[a : a + take]
+            a += take
+    assert got == want
