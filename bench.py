@@ -135,11 +135,11 @@ def _count(df) -> int:
     return df.count()
 
 
-def _pipeline_bench(spark, budget: _Budget | None = None) -> dict:
+def _pipeline_bench(spark, budget: _Budget | None = None, tier: str = "bench") -> dict:
     from fineweb_legal_spark.datasets import ensure_transcripts
     from fineweb_legal_spark.pipeline import run_pipeline
 
-    src = spark.read.parquet(str(ensure_transcripts("bench")))
+    src = spark.read.parquet(str(ensure_transcripts(tier)))
     verdicts = run_pipeline(spark, src)
     cached = getattr(verdicts, "_fineweb_persisted", [])
 
@@ -190,13 +190,14 @@ def _pipeline_bench(spark, budget: _Budget | None = None) -> dict:
     }
 
 
-def scaling_child(cpus: int) -> None:
+def scaling_child(cpus: int, tier: str = "bench") -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cpus)
     os.environ.setdefault("BENCH_REPS", "3")
     from fineweb_legal_spark.session import get_spark
 
     spark = get_spark(master=f"local[{cpus}]", app_name=f"bench_scaling_{cpus}")
-    out = _pipeline_bench(spark)
+    out = _pipeline_bench(spark, tier=tier)
+    out["tier"] = tier
     print("SCALING_RESULT " + json.dumps(out), flush=True)
     spark.stop()
 
@@ -286,7 +287,8 @@ def _cached_scaling() -> dict:
 
 def main() -> None:
     if len(sys.argv) >= 3 and sys.argv[1] == "--scaling-child":
-        scaling_child(int(sys.argv[2]))
+        tier = sys.argv[3] if len(sys.argv) >= 4 else "bench"
+        scaling_child(int(sys.argv[2]), tier=tier)
         return
     if len(sys.argv) >= 2 and sys.argv[1] == "--scaling-only":
         from fineweb_legal_spark.datasets import ensure_transcripts

@@ -20,11 +20,19 @@ DATA_DIR = Path(os.environ.get("FINEWEB_SPARK_DATA", REPO_ROOT / "data"))
 TIERS = {"t1": 2_000, "t2": 60_000, "bench": 2_000_000}
 SEED = 42
 
+# Chunked tiers exist for DATA-SIZE linearity evidence (BENCH.md): the same
+# pipeline at 1x and 5x the bench rows should show flat per-turn throughput
+# if the plan has no super-linear stage. tier -> (n_chunks, rows_per_chunk).
+# Each chunk uses a DISTINCT seed (chunks are not byte-duplicates, so the
+# dedup rate stays realistic instead of collapsing 80% of turns into losers)
+# and a conv_id prefix (conversations never merge across chunks).
+CHUNKED_TIERS = {"bench10": (5, 2_000_000)}
+
 
 def transcripts_path(tier: str) -> Path:
-    if tier == "bench":
+    if tier == "bench" or tier in CHUNKED_TIERS:
         # directory of files so the Spark scan splits across executors
-        return DATA_DIR / "transcripts" / "bench"
+        return DATA_DIR / "transcripts" / tier
     return DATA_DIR / "transcripts" / tier / "transcripts.parquet"
 
 
@@ -60,8 +68,34 @@ _TRANSCRIPT_SCHEMA = pa.schema(
 )
 
 
+def _write_parts(df, dest: Path, stem: str, n_files: int = 64) -> None:
+    chunk = (len(df) + n_files - 1) // n_files
+    for i in range(n_files):
+        part = df.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            _write(part, dest / f"{stem}_{i:05d}.parquet", _TRANSCRIPT_SCHEMA)
+
+
 def ensure_transcripts(tier: str) -> Path:
     p = transcripts_path(tier)
+    if tier in CHUNKED_TIERS:
+        done = p / "_SUCCESS"
+        if not done.exists():
+            from .generator import generate_transcripts
+
+            n_chunks, chunk_rows = CHUNKED_TIERS[tier]
+            for c in range(n_chunks):
+                marker = p / f"_CHUNK_{c:03d}"
+                if marker.exists():  # resumable: ~2 min/chunk of driver time
+                    continue
+                df = generate_transcripts(chunk_rows, seed=SEED + 1_000 + c)
+                df["conv_id"] = f"g{c}_" + df["conv_id"]
+                df["ts"] = df["ts"].astype("datetime64[us]")
+                p.mkdir(parents=True, exist_ok=True)
+                _write_parts(df, p, f"part_{c:03d}")
+                marker.touch()
+            done.touch()
+        return p
     if tier == "bench":
         done = p / "_SUCCESS"
         if not done.exists():
@@ -69,12 +103,7 @@ def ensure_transcripts(tier: str) -> Path:
 
             df = generate_transcripts(TIERS[tier], seed=SEED)
             df["ts"] = df["ts"].astype("datetime64[us]")
-            n_files = 64
-            chunk = (len(df) + n_files - 1) // n_files
-            for i in range(n_files):
-                part = df.iloc[i * chunk : (i + 1) * chunk]
-                if len(part):
-                    _write(part, p / f"part_{i:05d}.parquet", _TRANSCRIPT_SCHEMA)
+            _write_parts(df, p, "part")
             done.touch()
         return p
     if not p.exists():
