@@ -47,6 +47,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 SCALING_CACHE = REPO / "data" / "scaling_cache.json"
+LINEARITY_CACHE = REPO / "data" / "linearity_cache.json"
 
 HEADLINE = (
     "pipeline_verdicts",
@@ -271,6 +272,26 @@ def _same_window_stats(rounds: list) -> dict:
     }
 
 
+def _cached_linearity() -> dict:
+    """Data-size axis (tools/linearity_round.py): same plan, same 32
+    cores, 2M vs 10M turns; ratio ~1.0 = no super-linear stage."""
+    if LINEARITY_CACHE.exists():
+        try:
+            c = json.loads(LINEARITY_CACHE.read_text())
+            out = {"ratio_10M_vs_2M": c.get("linearity_ratio")}
+            for tier in ("bench", "bench10"):
+                if isinstance(c.get(tier), dict):
+                    out[tier] = {
+                        k: c[tier][k]
+                        for k in ("rows", "steady_sec", "turns_per_sec")
+                        if k in c[tier]
+                    }
+            return out
+        except (OSError, json.JSONDecodeError):
+            pass
+    return {}
+
+
 def _cached_scaling() -> dict:
     if SCALING_CACHE.exists():
         try:
@@ -308,6 +329,9 @@ def main() -> None:
     )
     run_scaling = os.environ.get("BENCH_RUN_SCALING") == "1"
     RESULT["scaling"] = _cached_scaling()
+    lin = _cached_linearity()
+    if lin:
+        RESULT["linearity"] = lin
 
     # generate bench data up front (one-time, cached on disk)
     from fineweb_legal_spark.datasets import ensure_transcripts
