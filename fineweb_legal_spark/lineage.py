@@ -89,6 +89,57 @@ def read_committed_output(spark: SparkSession, out_dir: str | Path) -> DataFrame
     )
 
 
+def group_metric_exprs(group: list[int]) -> list:
+    """Per-bucket kept/dropped/scrubbed counters + the engine-clock commit
+    timestamp, as observe() expressions over the pre-keep-filter frame."""
+    exprs = []
+    for b in group:
+        is_b = F.col(BUCKET_COL) == b
+        exprs += [
+            F.sum((is_b & F.col("keep")).cast("long")).alias(f"kept_{b}"),
+            F.sum((is_b & ~F.col("keep")).cast("long")).alias(f"dropped_{b}"),
+            F.sum(
+                (
+                    is_b
+                    & F.col("keep")
+                    & (F.col("scrubbed_text") != F.col("text"))
+                ).cast("long")
+            ).alias(f"scrubbed_{b}"),
+        ]
+    # committed_at via the engine clock (reference storage.py:278 analog)
+    exprs.append(F.max(F.current_timestamp()).alias("committed_at"))
+    return exprs
+
+
+def group_commit_stats(kept: DataFrame, group: list[int], obs: Observation) -> dict:
+    """The observed metrics for a committed group, with the explicit-agg
+    fallback for all-rejected groups (whose zero-row write lets AQE
+    eliminate the CollectMetrics subtree so the observation never fires)."""
+    try:
+        return obs.get
+    except Exception:  # noqa: BLE001
+        stats_rows = (
+            kept.groupBy(BUCKET_COL)
+            .agg(
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+                F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+                F.sum(
+                    (
+                        F.col("keep")
+                        & (F.col("scrubbed_text") != F.col("text"))
+                    ).cast("long")
+                ).alias("scrubbed"),
+            )
+            .collect()
+        )
+        got: dict = {}
+        for r in stats_rows:
+            b = int(r[BUCKET_COL])
+            for k in ("kept", "dropped", "scrubbed"):
+                got[f"{k}_{b}"] = int(r[k])
+        return got
+
+
 def run_with_lineage(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -168,25 +219,9 @@ def run_with_lineage(
         # action itself produces the per-bucket kept/dropped/scrubbed
         # counters — no second aggregation pass over the group.
         obs = Observation(f"lineage-{gid}")
-        metric_exprs = []
-        for b in group:
-            is_b = F.col(BUCKET_COL) == b
-            metric_exprs += [
-                F.sum((is_b & F.col("keep")).cast("long")).alias(f"kept_{b}"),
-                F.sum((is_b & ~F.col("keep")).cast("long")).alias(f"dropped_{b}"),
-                F.sum(
-                    (
-                        is_b
-                        & F.col("keep")
-                        & (F.col("scrubbed_text") != F.col("text"))
-                    ).cast("long")
-                ).alias(f"scrubbed_{b}"),
-            ]
-        # committed_at via the engine clock (reference storage.py:278 analog)
-        metric_exprs.append(F.max(F.current_timestamp()).alias("committed_at"))
         # stage the data: dynamic overwrite replaces only the touched buckets
         (
-            kept.observe(obs, *metric_exprs)
+            kept.observe(obs, *group_metric_exprs(group))
             .filter("keep")
             .drop("keep")
             .repartition(BUCKET_COL)
@@ -196,33 +231,7 @@ def run_with_lineage(
             .option("compression", "snappy")
             .parquet(str(out / "data"))
         )
-        try:
-            got = obs.get
-        except Exception:  # noqa: BLE001
-            # A group whose every row is rejected writes ZERO rows; AQE's
-            # empty-relation propagation then eliminates the subtree holding
-            # the CollectMetrics node and the observation never materializes
-            # (reproduced: observe -> filter-to-zero -> partitioned parquet).
-            # Fall back to one explicit aggregation job for this rare group.
-            stats_rows = (
-                kept.groupBy(BUCKET_COL)
-                .agg(
-                    F.sum(F.col("keep").cast("long")).alias("kept"),
-                    F.sum((~F.col("keep")).cast("long")).alias("dropped"),
-                    F.sum(
-                        (
-                            F.col("keep")
-                            & (F.col("scrubbed_text") != F.col("text"))
-                        ).cast("long")
-                    ).alias("scrubbed"),
-                )
-                .collect()
-            )
-            got = {}
-            for r in stats_rows:
-                b = int(r[BUCKET_COL])
-                for k in ("kept", "dropped", "scrubbed"):
-                    got[f"{k}_{b}"] = int(r[k])
+        got = group_commit_stats(kept, group, obs)
 
         def _stat(b: int, k: str) -> int:
             v = got.get(f"{k}_{b}")

@@ -4,9 +4,17 @@
         --input /path/to/transcripts --output /path/to/out \
         --groups 64 [--streaming]
 
+    # catalog-table sink (Iceberg when spark-submit carries
+    # --conf spark.sql.catalog.* for one; session catalog otherwise):
+    spark-submit ... jobs/run_filter.py --input /path/to/transcripts \
+        --output-table filtered --warehouse /path/to/wh --groups 64
+
 Batch mode runs the lineage-committed pipeline (resumable: rerun after a
-kill and only uncommitted bucket groups are recomputed). Streaming mode
-tails the input directory with an availableNow trigger.
+kill and only uncommitted bucket groups are recomputed) against either a
+directory sink (lineage.py) or catalog tables (lineage_table.py — the
+output, lineage, and stage metrics land in tables via idempotent
+partition-overwrite commits). Streaming mode tails the input directory
+with an availableNow trigger.
 """
 
 from __future__ import annotations
@@ -22,7 +30,29 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
-    ap.add_argument("--output", required=True)
+    ap.add_argument(
+        "--output",
+        default=None,
+        help="output DIRECTORY (directory-backend lineage commits); "
+        "exactly one of --output / --output-table is required",
+    )
+    ap.add_argument(
+        "--output-table",
+        default=None,
+        help="output CATALOG TABLE (Iceberg when a V2 catalog is "
+        "configured via spark-submit --conf spark.sql.catalog.*, stock "
+        "session catalog otherwise); lineage+metrics go to "
+        "--lineage-table (default <output-table>_lineage)",
+    )
+    ap.add_argument("--lineage-table", default=None)
+    ap.add_argument(
+        "--warehouse",
+        default=None,
+        help="with --output-table: warehouse dir for the persistent "
+        "(Hive/Derby) catalog so table entries — and therefore resume "
+        "state — survive across job runs (a real cluster points at its "
+        "Hive/Glue/Iceberg metastore instead)",
+    )
     ap.add_argument("--groups", type=int, default=1)
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--master", default=None)
@@ -36,10 +66,26 @@ def main() -> None:
         "carries kept rows).",
     )
     args = ap.parse_args()
+    if bool(args.output) == bool(args.output_table):
+        raise SystemExit("exactly one of --output / --output-table is required")
+    if args.streaming and args.output_table:
+        raise SystemExit("--streaming requires a directory --output")
 
     from fineweb_legal_spark.session import get_spark
 
-    spark = get_spark(master=args.master, app_name="fineweb_legal_filter")
+    extra = {}
+    if args.warehouse:
+        wh = str(Path(args.warehouse).resolve())
+        extra = {
+            "spark.sql.catalogImplementation": "hive",
+            "spark.sql.warehouse.dir": wh,
+            "spark.hadoop.javax.jdo.option.ConnectionURL": (
+                f"jdbc:derby:;databaseName={wh}/metastore_db;create=true"
+            ),
+        }
+    spark = get_spark(
+        master=args.master, app_name="fineweb_legal_filter", extra_conf=extra
+    )
 
     if args.streaming:
         # FileStreamSource requires a directory to tail; a single parquet
@@ -60,10 +106,23 @@ def main() -> None:
         )
         q.awaitTermination()
     else:
-        from fineweb_legal_spark.lineage import run_with_lineage
-
         src = spark.read.parquet(args.input)
-        result = run_with_lineage(spark, src, args.output, n_groups=args.groups)
+        if args.output_table:
+            from fineweb_legal_spark.lineage_table import run_with_lineage_table
+
+            result = run_with_lineage_table(
+                spark,
+                src,
+                args.output_table,
+                args.lineage_table or f"{args.output_table}_lineage",
+                n_groups=args.groups,
+            )
+        else:
+            from fineweb_legal_spark.lineage import run_with_lineage
+
+            result = run_with_lineage(
+                spark, src, args.output, n_groups=args.groups
+            )
         if args.verdicts_out:
             from fineweb_legal_spark.pipeline import run_pipeline
 
