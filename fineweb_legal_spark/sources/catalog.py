@@ -169,7 +169,14 @@ class TableIO:
             return
         # V1 path: dynamic overwrite is session-conf-gated (the writer
         # option is ignored by insertInto — measured, see module doc).
-        conf = self.spark.conf
+        # The conf must be flipped on the FRAME's session, not the one
+        # TableIO was built with: foreachBatch hands over frames from a
+        # cloned micro-batch session whose conf is independent, and
+        # flipping only the outer session leaves the clone in STATIC
+        # mode — where mode("overwrite") truncates the whole table
+        # (measured: a trailing empty watermark-flush batch erased every
+        # committed row).
+        conf = aligned.sparkSession.conf
         old = conf.get(_OVERWRITE_MODE_KEY, "STATIC")
         conf.set(_OVERWRITE_MODE_KEY, "dynamic")
         try:

@@ -70,6 +70,24 @@ def _scored_stream(spark: SparkSession, src_dir: str) -> DataFrame:
     )
 
 
+def kept_stream(spark: SparkSession, src_dir: str) -> DataFrame:
+    """Scored stream → kept rows after the watermarked bounded-window
+    dedup (contract documented on start_filter_stream). Shared by the
+    parquet-directory sink and the catalog-table sink."""
+    scored = _scored_stream(spark, src_dir)
+    return (
+        scored.filter(F.col("reason0").isNull())
+        .withWatermark("ts", "1 hour")
+        # dropDuplicatesWithinWatermark: keys whose event time passes the
+        # watermark are EVICTED from the dedup state store. Plain
+        # dropDuplicates(["norm_key"]) never evicts (the event-time column
+        # is not part of the key set), so a long-running stream grows state
+        # without bound.
+        .dropDuplicatesWithinWatermark(["norm_key"])
+        .select("conv_id", "turn_idx", "ts", "lang", "ppl_bucket", "scrubbed_text")
+    )
+
+
 def start_filter_stream(
     spark: SparkSession,
     src_dir: str,
@@ -89,18 +107,7 @@ def start_filter_stream(
     exactly needs the lineage-registry anti-join on top (lineage.py), not
     a bigger watermark. Asserted in tests/test_streaming.py::
     test_stream_dedup_watermark_contract."""
-    scored = _scored_stream(spark, src_dir)
-    kept = (
-        scored.filter(F.col("reason0").isNull())
-        .withWatermark("ts", "1 hour")
-        # dropDuplicatesWithinWatermark: keys whose event time passes the
-        # watermark are EVICTED from the dedup state store. Plain
-        # dropDuplicates(["norm_key"]) never evicts (the event-time column
-        # is not part of the key set), so a long-running stream grows state
-        # without bound.
-        .dropDuplicatesWithinWatermark(["norm_key"])
-        .select("conv_id", "turn_idx", "ts", "lang", "ppl_bucket", "scrubbed_text")
-    )
+    kept = kept_stream(spark, src_dir)
     writer = (
         kept.writeStream.format("parquet")
         .option("path", out_dir)

@@ -55,6 +55,13 @@ def main() -> None:
     )
     ap.add_argument("--groups", type=int, default=1)
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument(
+        "--checkpoint",
+        default=None,
+        help="streaming checkpoint dir; required with --streaming "
+        "--output-table (with --output it defaults to "
+        "<output>/_checkpoint)",
+    )
     ap.add_argument("--master", default=None)
     ap.add_argument(
         "--verdicts-out",
@@ -68,8 +75,11 @@ def main() -> None:
     args = ap.parse_args()
     if bool(args.output) == bool(args.output_table):
         raise SystemExit("exactly one of --output / --output-table is required")
-    if args.streaming and args.output_table:
-        raise SystemExit("--streaming requires a directory --output")
+    if args.streaming and args.output_table and not args.checkpoint:
+        raise SystemExit(
+            "--streaming --output-table needs --checkpoint (the table "
+            "holds data, not the stream's offset/state log)"
+        )
 
     from fineweb_legal_spark.session import get_spark
 
@@ -96,15 +106,35 @@ def main() -> None:
                 f"--streaming input must be a directory to tail, got the "
                 f"file {args.input!r}; batch mode accepts files"
             )
-        from fineweb_legal_spark.streaming.filter_stream import start_filter_stream
+        if args.output_table:
+            from fineweb_legal_spark.streaming.table_sink import (
+                start_filter_stream_to_table,
+            )
 
-        q = start_filter_stream(
-            spark,
-            args.input,
-            f"{args.output}/data",
-            f"{args.output}/_checkpoint",
-        )
+            q = start_filter_stream_to_table(
+                spark, args.input, args.output_table, args.checkpoint
+            )
+        else:
+            from fineweb_legal_spark.streaming.filter_stream import (
+                start_filter_stream,
+            )
+
+            q = start_filter_stream(
+                spark,
+                args.input,
+                f"{args.output}/data",
+                f"{args.output}/_checkpoint",
+            )
         q.awaitTermination()
+        print(
+            json.dumps(
+                {
+                    "streaming": True,
+                    "sink": args.output_table or args.output,
+                    "batches": (q.lastProgress or {}).get("batchId"),
+                }
+            )
+        )
     else:
         src = spark.read.parquet(args.input)
         if args.output_table:
