@@ -27,7 +27,24 @@ from typing import Sequence
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
-__all__ = ["corpus_diff", "corpus_diff_summary"]
+__all__ = ["corpus_diff", "corpus_diff_summary", "with_composite_key"]
+
+
+def with_composite_key(
+    df: DataFrame, keys: Sequence[str], out_col: str = "__diff_key"
+) -> DataFrame:
+    """One deterministic join column for a composite document key (e.g.
+    (conv_id, turn_idx) on per-turn tables): md5 of the key tuple's JSON
+    struct. Why not ``concat_ws`` with a separator: a key VALUE
+    containing the separator makes distinct tuples collide ("a\\x1fb", 1
+    vs "a", "b\\x1f1"); JSON quoting removes the ambiguity, field names
+    disambiguate null positions (``ignoreNullFields=false`` keeps nulls
+    explicit), and the fixed 32-byte digest keeps the diff join slim
+    regardless of key width."""
+    s = F.struct(*[F.col(k) for k in keys])
+    return df.withColumn(
+        out_col, F.md5(F.to_json(s, {"ignoreNullFields": "false"}))
+    )
 
 
 def _slim(df: DataFrame, key_col: str, text_col: str, group_cols: Sequence[str], tag: str) -> DataFrame:

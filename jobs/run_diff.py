@@ -73,15 +73,9 @@ def main() -> None:
             else spark.read.parquet(src)
         )
         if len(keys) > 1:
-            # composite key -> one synthesized join column; unit
-            # separator + null sentinels keep distinct tuples distinct
-            from pyspark.sql import functions as F
+            from fineweb_legal_spark.operators.diff import with_composite_key
 
-            parts = [
-                F.coalesce(F.col(k).cast("string"), F.lit("\x00null"))
-                for k in keys
-            ]
-            df = df.withColumn("__diff_key", F.concat_ws("\x1f", *parts))
+            df = with_composite_key(df, keys)
         return df
 
     summary = corpus_diff_summary(

@@ -127,3 +127,53 @@ def test_diff_duckdb_oracle_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_composite_key_separator_adversarial(spark):
+    """with_composite_key must keep distinct key tuples distinct even
+    when key VALUES embed would-be separators or null sentinels — the
+    failure mode of concat_ws-style key synthesis."""
+    from fineweb_legal_spark.operators.diff import with_composite_key
+
+    rows = [
+        ("a\x1fb", "1"),   # collides with ("a", "b\x1f1") under \x1f-concat
+        ("a", "b\x1f1"),
+        ("x", None),       # collides with ("x", "\x00null") under sentinels
+        ("x", "\x00null"),
+        (None, "y"),
+        ("", "y"),         # null vs empty string must stay distinct
+    ]
+    df = spark.createDataFrame(rows, ["k1", "k2"])
+    keyed = with_composite_key(df, ["k1", "k2"])
+    assert keyed.select("__diff_key").distinct().count() == len(rows)
+    # deterministic: same tuple -> same key across computations
+    again = with_composite_key(df, ["k1", "k2"]).select("__diff_key")
+    assert (
+        keyed.select("__diff_key").exceptAll(again).count() == 0
+    )
+
+
+def test_diff_with_composite_key_end_to_end(spark):
+    """Per-turn diff through the synthesized key: self-diff is all
+    unchanged; a one-turn edit is exactly one changed row."""
+    from fineweb_legal_spark.operators.diff import (
+        corpus_diff_summary,
+        with_composite_key,
+    )
+
+    old = spark.createDataFrame(
+        [("c1", 0, "hello"), ("c1", 1, "world"), ("c2", 0, "other")],
+        ["conv_id", "turn_idx", "text"],
+    )
+    new = spark.createDataFrame(
+        [("c1", 0, "hello"), ("c1", 1, "WORLD"), ("c2", 0, "other")],
+        ["conv_id", "turn_idx", "text"],
+    )
+    k = lambda d: with_composite_key(d, ["conv_id", "turn_idx"])  # noqa: E731
+    s = {
+        r.status: r.n_docs
+        for r in corpus_diff_summary(
+            k(old), k(new), key_col="__diff_key", text_col="text"
+        ).collect()
+    }
+    assert s == {"unchanged": 2, "changed": 1}
