@@ -262,3 +262,33 @@ def test_tokenizer_to_shards_e2e(spark):
     # every doc landed in exactly one shard
     assert shards.count() == docs.count()
     assert shards.select("doc_id").distinct().count() == docs.count()
+
+
+def test_catalog_chain_e2e(spark, t1_transcripts, t1_golden):
+    """RECIPES §1b: filter to catalog tables -> card over the committed
+    table (the table-native job chain, exercised at the library level)."""
+    from fineweb_legal_spark.lineage_table import (
+        read_committed_table,
+        run_with_lineage_table,
+    )
+    from fineweb_legal_spark.report import corpus_report
+
+    for t in ("rec_data", "rec_lineage"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    try:
+        run_with_lineage_table(
+            spark, t1_transcripts, "rec_data", "rec_lineage", n_groups=2
+        )
+        committed = read_committed_table(spark, "rec_data", "rec_lineage")
+        card = corpus_report(committed)
+        kept_gold = int(t1_golden.keep.sum())
+        # committed (kept-only) output -> the degraded card: every row
+        # kept, turn count exactly the golden kept set
+        assert card["turns"] == kept_gold
+        assert card["kept_turns"] == kept_gold
+        assert card["kept_frac"] == 1.0
+        assert card["verdicts_present"] is False
+        assert card["lang_mix"].get("en") == kept_gold
+    finally:
+        for t in ("rec_data", "rec_lineage"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
