@@ -48,6 +48,7 @@ sys.path.insert(0, str(REPO))
 
 SCALING_CACHE = REPO / "data" / "scaling_cache.json"
 LINEARITY_CACHE = REPO / "data" / "linearity_cache.json"
+STANDALONE_CACHE = REPO / "data" / "standalone_cache.json"
 
 HEADLINE = (
     "pipeline_verdicts",
@@ -292,6 +293,32 @@ def _cached_linearity() -> dict:
     return {}
 
 
+def _cached_standalone() -> dict:
+    """Real-cluster axis (tools/standalone_round.py): the same pipeline
+    submitted via spark-submit --py-files to a genuine standalone cluster
+    (separate master/worker/executor JVMs) at 2 executors vs 8 executors
+    — the north rule's N-vs-4N-executor criterion on its actual launch
+    surface rather than the local[N] stand-in."""
+    if STANDALONE_CACHE.exists():
+        try:
+            c = json.loads(STANDALONE_CACHE.read_text())
+            out = {"cached": True, "efficiency": c.get("efficiency")}
+            for size in ("N", "4N"):
+                if isinstance(c.get(size), dict):
+                    out[size] = {
+                        k: c[size][k]
+                        for k in (
+                            "rows", "steady_sec", "turns_per_sec",
+                            "cores", "executors", "workers",
+                        )
+                        if k in c[size]
+                    }
+            return out
+        except (OSError, json.JSONDecodeError):
+            pass
+    return {}
+
+
 def _cached_scaling() -> dict:
     if SCALING_CACHE.exists():
         try:
@@ -332,6 +359,9 @@ def main() -> None:
     lin = _cached_linearity()
     if lin:
         RESULT["linearity"] = lin
+    sa = _cached_standalone()
+    if sa:
+        RESULT["scaling_standalone"] = sa
 
     # generate bench data up front (one-time, cached on disk)
     from fineweb_legal_spark.datasets import ensure_transcripts

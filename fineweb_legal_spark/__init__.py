@@ -8,10 +8,17 @@ NoeFlandre/fineweb-legal reference pipeline, re-expressed Spark-first:
   broadcast model artifacts (reference analog: ``scripts/model_inference_stage2_cuda.py``),
 - regex PII/toxicity scrubbing sharing one Python ``re`` engine between the
   engine and the oracle (exact text parity),
-- dedup / lineage / metrics as DataFrame ops over Parquet (Iceberg-shaped
-  commit protocol without requiring the Iceberg runtime jar).
+- dedup / lineage / metrics as DataFrame ops over Parquet,
+- catalog-table output (``sources.catalog.TableIO``): Iceberg V2 snapshot
+  commits when an Iceberg catalog is configured, stock session-catalog
+  dynamic partition overwrite otherwise — the same job code either way,
+- resumable commit protocols on both backends (``lineage`` for parquet
+  directories, ``lineage_table`` for catalog tables): per-bucket
+  idempotent commits so a killed run resumes without recomputation.
 
-See SURVEY.md for the operator-by-operator mapping to the reference.
+See SURVEY.md for the operator-by-operator mapping to the reference,
+docs/RECIPES.md for end-to-end job recipes, and BENCH.md for the
+measured throughput / scaling evidence.
 """
 
 __version__ = "0.1.0"
