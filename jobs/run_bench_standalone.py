@@ -47,7 +47,12 @@ def main() -> None:
     b = SparkSession.builder.appName("bench_standalone")
     spark = b.getOrCreate()
     sc = spark.sparkContext
-    slots = sc.defaultParallelism  # == spark.cores.max on standalone
+    # spark.cores.max is the declared cluster slice; defaultParallelism
+    # only reflects executors registered SO FAR (racing executor launch at
+    # session start once reported 2 and would have pinned the 32-core run
+    # to 8 shuffle partitions)
+    slots = int(spark.conf.get("spark.cores.max", "0")) or sc.defaultParallelism
+    exec_cores = int(spark.conf.get("spark.executor.cores", "4"))
     shuffle = args.shuffle_partitions or max(8, slots)
     for k, v in {
         "spark.sql.shuffle.partitions": str(shuffle),
@@ -62,6 +67,21 @@ def main() -> None:
     }.items():
         spark.conf.set(k, v)
     sc.setLogLevel("WARN")
+
+    def n_executors() -> int:
+        try:
+            # block managers = executors + 1 driver
+            return sc._jsc.sc().getExecutorMemoryStatus().size() - 1
+        except Exception:
+            return -1
+
+    # wait for the full executor complement before timing anything: the
+    # cold number should measure the PLAN cold (codegen, cache build), not
+    # executor JVM launch + -Xms pre-touch racing the first stage
+    want = max(1, slots // max(1, exec_cores))
+    deadline = time.time() + 120
+    while n_executors() < want and time.time() < deadline:
+        time.sleep(1)
 
     from fineweb_legal_spark.pipeline import run_pipeline
 
@@ -91,12 +111,7 @@ def main() -> None:
         drop_caches()
     steady = min(steadies) if steadies else cold
 
-    try:
-        # block managers = executors + 1 driver (JVM-side; stable across
-        # pyspark 4.x — guarded anyway, topology is evidence not substance)
-        n_exec = sc._jsc.sc().getExecutorMemoryStatus().size() - 1
-    except Exception:
-        n_exec = None
+    n_exec = n_executors()
     print(
         "STANDALONE_RESULT "
         + json.dumps(

@@ -51,6 +51,12 @@ SIZES = {
 
 
 def _spark_home() -> Path:
+    # honor a full distribution if the environment provides one (jars,
+    # sbin, conf); the pip pyspark layout is the fallback — either way the
+    # SAME home serves spark-class, spark-submit, and the worker JVMs
+    env_home = os.environ.get("SPARK_HOME")
+    if env_home and (Path(env_home) / "bin" / "spark-submit").exists():
+        return Path(env_home)
     import pyspark
 
     return Path(pyspark.__file__).resolve().parent
@@ -86,7 +92,7 @@ def _start_cluster(blocks: list[str], logdir: Path) -> list[subprocess.Popen]:
     sh = _spark_home()
     spark_class = str(sh / "bin" / "spark-class")
     env = dict(os.environ)
-    env.setdefault("SPARK_HOME", str(sh))
+    env["SPARK_HOME"] = str(sh)
     env.setdefault("SPARK_NO_DAEMONIZE", "1")
     # executors are forked by the worker: pin their Python to this exact
     # interpreter (a bare `python3` from the worker's PATH may differ)
@@ -156,7 +162,7 @@ def _submit(cores_max: int, input_dir: Path, reps: int, logdir: Path) -> dict | 
         "--reps", str(reps),
     ]
     env = dict(os.environ)
-    env.setdefault("SPARK_HOME", str(sh))
+    env["SPARK_HOME"] = str(sh)
     env["PYSPARK_PYTHON"] = sys.executable
     env["PYSPARK_DRIVER_PYTHON"] = sys.executable
     try:
