@@ -303,7 +303,7 @@ def _cached_standalone() -> dict:
         try:
             c = json.loads(STANDALONE_CACHE.read_text())
             out = {"cached": True, "efficiency": c.get("efficiency")}
-            for size in ("N", "4N"):
+            for size in ("N", "2N", "4N"):
                 if isinstance(c.get(size), dict):
                     out[size] = {
                         k: c[size][k]

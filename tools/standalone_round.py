@@ -5,6 +5,8 @@ Topology per size (everything on this 32-vCPU box, JVMs fully separate):
 
 - size "N"  : 1 worker,  8 cores, taskset-pinned to cores 0-7
               → spark.cores.max=8,  --executor-cores 4 → 2 executors
+- size "2N" : 2 workers (opt-in via --sizes, the executor-count-curve
+              midpoint) → spark.cores.max=16 → 4 executors
 - size "4N" : 4 workers, 8 cores each, pinned to 0-7 / 8-15 / 16-23 / 24-31
               → spark.cores.max=32, --executor-cores 4 → 8 executors
 
@@ -21,7 +23,7 @@ Results append to ``data/standalone_cache.json`` (same best-per-size +
 rounds ledger as the local[N] scaling cache; bench.py folds it into its
 JSON line as ``scaling_standalone``).
 
-Usage: python tools/standalone_round.py [--reps 3]
+Usage: python tools/standalone_round.py [--reps 3] [--sizes N,2N,4N]
 """
 
 from __future__ import annotations
@@ -46,8 +48,10 @@ MASTER_URL = f"spark://127.0.0.1:{MASTER_PORT}"
 SIZES = {
     # name -> (worker core blocks, spark.cores.max)
     "N": (["0-7"], 8),
+    "2N": (["0-7", "8-15"], 16),  # midpoint: opt-in via --sizes
     "4N": (["0-7", "8-15", "16-23", "24-31"], 32),
 }
+DEFAULT_SIZES = ("N", "4N")
 
 
 def _spark_home() -> Path:
@@ -209,7 +213,17 @@ def fold(rounds: list[dict]) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument(
+        "--sizes",
+        default=",".join(DEFAULT_SIZES),
+        help="comma list from N,2N,4N; 2N gives the midpoint of the "
+        "executor-count curve (4 executors x 4 cores on 2 workers)",
+    )
     args = ap.parse_args()
+    sizes = [x.strip() for x in args.sizes.split(",") if x.strip()]
+    unknown = [x for x in sizes if x not in SIZES]
+    if unknown:
+        ap.error(f"unknown sizes {unknown}; choose from {list(SIZES)}")
 
     sys.path.insert(0, str(REPO))
     from fineweb_legal_spark.datasets import ensure_transcripts
@@ -221,7 +235,8 @@ def main() -> None:
 
     cache = json.loads(CACHE.read_text()) if CACHE.exists() else {}
     rounds = cache.get("rounds", [])
-    for name, (blocks, cores_max) in SIZES.items():
+    for name in sizes:
+        blocks, cores_max = SIZES[name]
         procs = _start_cluster(blocks, logdir)
         try:
             r = _submit(cores_max, input_dir, args.reps, logdir)
