@@ -303,6 +303,8 @@ def _cached_standalone() -> dict:
         try:
             c = json.loads(STANDALONE_CACHE.read_text())
             out = {"cached": True, "efficiency": c.get("efficiency")}
+            if c.get("same_window"):
+                out["same_window"] = c["same_window"]
             for size in ("N", "2N", "4N"):
                 if isinstance(c.get(size), dict):
                     out[size] = {

@@ -69,3 +69,15 @@ def test_bench_standalone_cache_missing_is_empty(tmp_path, monkeypatch):
 
     monkeypatch.setattr(bench, "STANDALONE_CACHE", tmp_path / "nope.json")
     assert bench._cached_standalone() == {}
+
+
+def test_fold_same_window_pairs_skip_midpoints():
+    rounds = [
+        _r("N", 20000.0), _r("4N", 64000.0),          # pair: 0.8
+        _r("N", 25000.0), _r("2N", 40000.0), _r("4N", 91000.0),  # pair: 0.91
+        _r("N", 30000.0),                              # dangling: no pair
+    ]
+    sw = fold(rounds)["same_window"]
+    assert sw["pairs"] == 2
+    assert sw["best"] == 0.91
+    assert sw["n_ge_0.8"] == 2

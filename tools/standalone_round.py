@@ -193,7 +193,9 @@ def fold(rounds: list[dict]) -> dict:
     """Best round per size + N→4N efficiency — the cache headline.
 
     Pure so the math is unit-testable without a cluster; mirrors
-    tools/scaling_round.py's best-per-width de-noising protocol."""
+    tools/scaling_round.py's best-per-width de-noising protocol,
+    including the same_window view (efficiency within each adjacent
+    N→4N pair, where host drift between halves cancels)."""
     best: dict[str, dict] = {}
     for r in rounds:
         k = r["size"]
@@ -206,6 +208,29 @@ def fold(rounds: list[dict]) -> dict:
         )
     except (KeyError, ZeroDivisionError):
         out["efficiency"] = None
+    pairs = []
+    i = 0
+    while i + 1 < len(rounds):
+        a = rounds[i]
+        # a 2N midpoint between N and 4N doesn't break the pair
+        j = i + 1
+        while j < len(rounds) and rounds[j]["size"] == "2N":
+            j += 1
+        if j < len(rounds) and a["size"] == "N" and rounds[j]["size"] == "4N":
+            pairs.append(
+                round((rounds[j]["turns_per_sec"] / a["turns_per_sec"]) / 4, 3)
+            )
+            i = j + 1
+        else:
+            i += 1
+    if pairs:
+        mid = sorted(pairs)
+        out["same_window"] = {
+            "pairs": len(pairs),
+            "best": max(pairs),
+            "median": mid[len(mid) // 2],
+            "n_ge_0.8": sum(1 for p in pairs if p >= 0.8),
+        }
     out["rounds"] = rounds
     return out
 
