@@ -143,7 +143,13 @@ def _stop_cluster(procs: list[subprocess.Popen]) -> None:
                 pass
 
 
-def _submit(cores_max: int, input_dir: Path, reps: int, logdir: Path) -> dict | None:
+def _submit(
+    cores_max: int,
+    input_dir: Path,
+    reps: int,
+    logdir: Path,
+    extra_conf: list[str] | None = None,
+) -> dict | None:
     sh = _spark_home()
     cmd = [
         str(sh / "bin" / "spark-submit"),
@@ -161,6 +167,7 @@ def _submit(cores_max: int, input_dir: Path, reps: int, logdir: Path) -> dict | 
         "--conf", "spark.executorEnv.MALLOC_TRIM_THRESHOLD_=-1",
         "--conf", "spark.executorEnv.MALLOC_MMAP_THRESHOLD_=268435456",
         "--conf", "spark.ui.enabled=false",
+        *[x for c in (extra_conf or []) for x in ("--conf", c)],
         str(REPO / "jobs" / "run_bench_standalone.py"),
         "--input", str(input_dir),
         "--reps", str(reps),
@@ -239,6 +246,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument(
+        "--event-log",
+        default=None,
+        metavar="DIR",
+        help="enable the Spark event log into DIR for per-stage "
+        "attribution (tools/scaling_probe3.parse_eventlog)",
+    )
+    ap.add_argument(
         "--sizes",
         default=",".join(DEFAULT_SIZES),
         help="comma list from N,2N,4N; 2N gives the midpoint of the "
@@ -260,11 +274,19 @@ def main() -> None:
 
     cache = json.loads(CACHE.read_text()) if CACHE.exists() else {}
     rounds = cache.get("rounds", [])
+    extra_conf = None
+    if args.event_log:
+        ev = Path(args.event_log)
+        ev.mkdir(parents=True, exist_ok=True)
+        extra_conf = [
+            "spark.eventLog.enabled=true",
+            f"spark.eventLog.dir={ev}",
+        ]
     for name in sizes:
         blocks, cores_max = SIZES[name]
         procs = _start_cluster(blocks, logdir)
         try:
-            r = _submit(cores_max, input_dir, args.reps, logdir)
+            r = _submit(cores_max, input_dir, args.reps, logdir, extra_conf)
         finally:
             _stop_cluster(procs)
         if r:
