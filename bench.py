@@ -303,6 +303,9 @@ def _cached_standalone() -> dict:
         try:
             c = json.loads(STANDALONE_CACHE.read_text())
             out = {"cached": True, "efficiency": c.get("efficiency")}
+            for k in ("efficiency_basis", "efficiency_best_per_size"):
+                if c.get(k) is not None:
+                    out[k] = c[k]
             if c.get("same_window"):
                 out["same_window"] = c["same_window"]
             for size in ("N", "2N", "4N"):

@@ -29,9 +29,27 @@ def test_fold_picks_best_round_per_size():
     out = fold(rounds)
     assert out["N"]["turns_per_sec"] == 25000.0
     assert out["4N"]["turns_per_sec"] == 70000.0
-    # efficiency = (70000/25000)/4 = 0.7
+    # cross-window view = (70000/25000)/4 = 0.7; only 2 same-window
+    # pairs (0.875, 0.65), so the headline stays best-per-size
+    assert out["efficiency_best_per_size"] == 0.7
     assert out["efficiency"] == 0.7
+    assert out["efficiency_basis"] == "best_per_size"
     assert out["rounds"] == rounds  # full ledger preserved
+
+
+def test_fold_headline_is_same_window_median_at_three_pairs():
+    rounds = [
+        _r("N", 20000.0), _r("4N", 68000.0),   # 0.85
+        _r("N", 20000.0), _r("4N", 64000.0),   # 0.8
+        _r("N", 10000.0), _r("4N", 36000.0),   # 0.9 (slow window, clean pair)
+        _r("N", 46000.0),                      # lone quiet-window N catch
+    ]
+    out = fold(rounds)
+    # cross-window floor is wrecked by the unpaired quiet N (68k/46k/4)
+    assert out["efficiency_best_per_size"] == round(68000.0 / 46000.0 / 4, 3)
+    # headline is immune: median of (0.85, 0.8, 0.9)
+    assert out["efficiency"] == 0.85
+    assert out["efficiency_basis"] == "same_window_median"
 
 
 def test_fold_without_both_sizes_has_null_efficiency():

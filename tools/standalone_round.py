@@ -210,11 +210,11 @@ def fold(rounds: list[dict]) -> dict:
             best[k] = r
     out: dict = dict(best)
     try:
-        out["efficiency"] = round(
+        out["efficiency_best_per_size"] = round(
             (best["4N"]["turns_per_sec"] / best["N"]["turns_per_sec"]) / 4, 3
         )
     except (KeyError, ZeroDivisionError):
-        out["efficiency"] = None
+        out["efficiency_best_per_size"] = None
     pairs = []
     i = 0
     while i + 1 < len(rounds):
@@ -238,6 +238,20 @@ def fold(rounds: list[dict]) -> dict:
             "median": mid[len(mid) // 2],
             "n_ge_0.8": sum(1 for p in pairs if p >= 0.8),
         }
+    # HEADLINE = same-window median once enough pairs exist. Cross-window
+    # best-per-size divides numbers from different host conditions; with
+    # the ~10-round standalone ledger that is noise-dominated (a single
+    # quiet-window N catch moved it 0.907 -> 0.56 while every same-window
+    # pair stayed where it was). The local cache survives best-per-width
+    # only because ~70 rounds per width let BOTH legs sample quiet
+    # windows; same-window pairs measure both halves under the same host
+    # and need no such balancing.
+    if pairs and len(pairs) >= 3:
+        out["efficiency"] = out["same_window"]["median"]
+        out["efficiency_basis"] = "same_window_median"
+    else:
+        out["efficiency"] = out.get("efficiency_best_per_size")
+        out["efficiency_basis"] = "best_per_size"
     out["rounds"] = rounds
     return out
 
@@ -302,7 +316,10 @@ def main() -> None:
         "JVMs, netty shuffle): N = 1 pinned 8-core worker -> 2 executors x "
         "4 cores; 4N = 4 pinned 8-core workers -> 8 executors x 4 cores; "
         "spark-submit --py-files; steady=min of reps noop-sink "
-        "re-executions; best round per size"
+        "re-executions; headline efficiency = same-window median (both "
+        "halves of a pair share one host window); best-per-size kept as "
+        "the secondary view (cross-window, needs balanced quiet-window "
+        "sampling to mean anything)"
     )
     out["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     CACHE.parent.mkdir(parents=True, exist_ok=True)
