@@ -134,35 +134,41 @@ def q_pipeline_scrub_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PII/toxicity scrub audit (A-family metrics): total occurrences of
     # each redaction token across the kept corpus, plus how many turns
     # contain it — the "what did the scrubber actually do" report every
-    # privacy review asks for. Native expressions over the session-cached
-    # verdicts; occurrences = length delta / token length.
+    # privacy review asks for. All 8 counters (occurrences + turns_hit
+    # per token) ride ONE wide map-side-combinable aggregate — a single
+    # scan with a one-row-per-partition exchange (the audit.count_stack
+    # shape, here with a 3-column stack) — not a union of four groupBy
+    # passes that would re-scan a spilled verdict cache 4x at 100 TB.
+    # occurrences = length delta / token length, native expressions only.
     v = _t2_verdicts(spark).filter("keep")
-    rows = []
-    for name, token in (
+    tokens = (
         ("email", spec.EMAIL_TOKEN),
         ("ssn", spec.SSN_TOKEN),
         ("phone", spec.PHONE_TOKEN),
         ("profanity", spec.PROFANITY_TOKEN),
-    ):
+    )
+    aggs = []
+    for i, (_name, token) in enumerate(tokens):
         occ = (
-            F.length("scrubbed_text")
-            - F.length(F.replace(F.col("scrubbed_text"), F.lit(token)))
-        ) / F.lit(len(token))
-        rows.append(
-            v.select(
-                F.lit(name).alias("token"),
-                occ.cast("long").alias("_occ"),
+            (
+                F.length("scrubbed_text")
+                - F.length(F.replace(F.col("scrubbed_text"), F.lit(token)))
             )
-            .groupBy("token")
-            .agg(
-                F.sum("_occ").alias("occurrences"),
-                F.sum((F.col("_occ") > 0).cast("long")).alias("turns_hit"),
-            )
+            / F.lit(len(token))
+        ).cast("long")
+        aggs.append(F.sum(occ).alias(f"o{i}"))
+        aggs.append(F.sum((occ > 0).cast("long")).alias(f"h{i}"))
+    stack = ", ".join(
+        f"'{name}', o{i}, h{i}" for i, (name, _t) in enumerate(tokens)
+    )
+    return (
+        v.agg(*aggs)
+        .selectExpr(
+            f"stack({len(tokens)}, {stack})"
+            " AS (token, occurrences, turns_hit)"
         )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.orderBy("token")
+        .orderBy("token")
+    )
 
 
 # --------------------------------------------------------------------------

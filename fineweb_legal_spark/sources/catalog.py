@@ -100,10 +100,29 @@ class TableIO:
         self.default_format = default_format
 
     # -- format ---------------------------------------------------------
-    def _format_for(self, table: str) -> str:
+    def _format_for(self, table: str) -> str | None:
+        """Provider for CTAS: explicit ``default_format`` wins; otherwise
+        derive it from the catalog's implementation class (an Iceberg
+        catalog wants ``using iceberg``, a Delta one ``using delta``) —
+        NOT a hard-coded 'iceberg' for every V2 catalog, which would
+        mis-provision tables on e.g. a JDBC catalog.  Unknown V2 catalog
+        classes return None: ``create`` then omits ``using(...)`` and the
+        catalog provisions its own native format."""
         if self.default_format:
             return self.default_format
-        return "iceberg" if supports_v2_writes(self.spark, table) else "parquet"
+        cat = catalog_of(self.spark, table)
+        impl = None
+        try:
+            impl = self.spark.conf.get(f"spark.sql.catalog.{cat}", None)
+        except Exception:
+            pass
+        if impl is None:
+            return "parquet"  # stock session catalog
+        low = impl.lower()
+        for provider in ("iceberg", "delta", "hudi"):
+            if provider in low:
+                return provider
+        return None
 
     # -- DDL ------------------------------------------------------------
     def create(
@@ -116,11 +135,14 @@ class TableIO:
         """CTAS with identity partitioning (works on both catalog kinds)."""
         from pyspark.sql import functions as F
 
-        w = df.writeTo(table).using(fmt or self._format_for(table))
+        w = df.writeTo(table)
+        provider = fmt or self._format_for(table)
+        if provider is not None:
+            w = w.using(provider)
         if partition_by:
             cols = [F.col(c) for c in partition_by]
             w = w.partitionedBy(cols[0], *cols[1:])
-        w.create()
+        self._routed(w.create, table)
 
     def ensure(
         self,
@@ -137,10 +159,57 @@ class TableIO:
         return True
 
     # -- writes ---------------------------------------------------------
+    # substrings Spark emits when a configured catalog class cannot be
+    # resolved/instantiated — the ONLY failures _routed rewrites (a
+    # connector's own capability/analysis errors pass through untouched)
+    _RESOLUTION_MARKERS = (
+        "catalog plugin",
+        "ClassNotFound",
+        "NoClassDefFound",
+        "cannot be instantiated",
+        "CATALOG_NOT_FOUND",
+    )
+
+    def _routed(self, write, table: str):
+        """Run a V2 write, converting an obscure late catalog-RESOLUTION
+        failure (a typo'd / unloadable ``spark.sql.catalog.<name>`` class
+        still ROUTES down the V2 path — the conf key exists) into a
+        routing-level error that names the catalog and its conf.  Any
+        other failure (capability refusals, analysis errors) re-raises
+        unchanged."""
+        try:
+            return write()
+        except Exception as e:
+            msg = str(e)
+            if not any(m in msg for m in self._RESOLUTION_MARKERS):
+                raise
+            cat = catalog_of(self.spark, table)
+            impl = None
+            try:
+                impl = self.spark.conf.get(f"spark.sql.catalog.{cat}", None)
+            except Exception:
+                pass
+            raise RuntimeError(
+                f"V2 write to {table!r} routed via catalog {cat!r} but the "
+                f"catalog failed to resolve — check that "
+                f"spark.sql.catalog.{cat}={impl!r} names a loadable "
+                f"DataSourceV2 catalog class: {e}"
+            ) from e
+
     def _aligned(self, df: DataFrame, table: str) -> DataFrame:
         """Reorder ``df`` to the table's column order (insertInto is
-        positional) and fail loudly on a column-SET mismatch rather than
-        letting position semantics scramble values."""
+        positional) and fail loudly on a column-set mismatch OR duplicate
+        frame columns (a set compare alone would pass an un-deduped
+        join's frame, then die later on an ambiguous reference) rather
+        than letting position semantics scramble values."""
+        if len(df.columns) != len(set(df.columns)):
+            dups = sorted(
+                c for c in set(df.columns) if df.columns.count(c) > 1
+            )
+            raise ValueError(
+                f"frame for {table} has duplicate columns {dups}; "
+                "dedup/rename before writing"
+            )
         want = self.spark.table(table).columns
         have = set(df.columns)
         if have != set(want):
@@ -155,7 +224,8 @@ class TableIO:
     def append(self, df: DataFrame, table: str) -> None:
         """Atomic append (Iceberg snapshot commit on V2 catalogs)."""
         if supports_v2_writes(self.spark, table):
-            self._aligned(df, table).writeTo(table).append()
+            aligned = self._aligned(df, table)
+            self._routed(aligned.writeTo(table).append, table)
         else:
             self._aligned(df, table).write.insertInto(table)
 
@@ -165,7 +235,7 @@ class TableIO:
         same frame converges to the same table state."""
         aligned = self._aligned(df, table)
         if supports_v2_writes(self.spark, table):
-            aligned.writeTo(table).overwritePartitions()
+            self._routed(aligned.writeTo(table).overwritePartitions, table)
             return
         # V1 path: dynamic overwrite is session-conf-gated (the writer
         # option is ignored by insertInto — measured, see module doc).

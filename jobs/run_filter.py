@@ -27,6 +27,30 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
+def stream_summary(q, sink: str, table_missing: bool) -> dict:
+    """Post-run summary for streaming mode.  Batches are counted from
+    ``recentProgress``, not ``lastProgress``: the last progress can be
+    None or only the final (often empty watermark-flush) batch, so a
+    ``batches=null`` line could print after a successful multi-batch
+    run.  ``table_missing`` flags that an all-empty run never created
+    the table sink (foreachBatch only provisions it on the first
+    non-empty frame) — say so instead of claiming silent success."""
+    progresses = q.recentProgress or []
+    nonempty = sum(1 for p in progresses if (p.get("numInputRows") or 0) > 0)
+    summary = {
+        "streaming": True,
+        "sink": sink,
+        "batches": len(progresses),
+        "batches_nonempty": nonempty,
+    }
+    if nonempty == 0 and table_missing:
+        summary["note"] = (
+            "all batches empty: no rows committed and the sink table "
+            "was never created"
+        )
+    return summary
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -45,6 +69,13 @@ def main() -> None:
         "--lineage-table (default <output-table>_lineage)",
     )
     ap.add_argument("--lineage-table", default=None)
+    ap.add_argument(
+        "--table-format",
+        default=None,
+        help="with --output-table: explicit table provider for CTAS "
+        "(e.g. iceberg, delta, parquet); default derives it from the "
+        "catalog implementation class",
+    )
     ap.add_argument(
         "--warehouse",
         default=None,
@@ -107,12 +138,17 @@ def main() -> None:
                 f"file {args.input!r}; batch mode accepts files"
             )
         if args.output_table:
+            from fineweb_legal_spark.sources.catalog import TableIO
             from fineweb_legal_spark.streaming.table_sink import (
                 start_filter_stream_to_table,
             )
 
             q = start_filter_stream_to_table(
-                spark, args.input, args.output_table, args.checkpoint
+                spark,
+                args.input,
+                args.output_table,
+                args.checkpoint,
+                io=TableIO(spark, default_format=args.table_format),
             )
         else:
             from fineweb_legal_spark.streaming.filter_stream import (
@@ -126,19 +162,22 @@ def main() -> None:
                 f"{args.output}/_checkpoint",
             )
         q.awaitTermination()
+        table_missing = bool(
+            args.output_table
+            and not spark.catalog.tableExists(args.output_table)
+        )
         print(
             json.dumps(
-                {
-                    "streaming": True,
-                    "sink": args.output_table or args.output,
-                    "batches": (q.lastProgress or {}).get("batchId"),
-                }
+                stream_summary(
+                    q, args.output_table or args.output, table_missing
+                )
             )
         )
     else:
         src = spark.read.parquet(args.input)
         if args.output_table:
             from fineweb_legal_spark.lineage_table import run_with_lineage_table
+            from fineweb_legal_spark.sources.catalog import TableIO
 
             result = run_with_lineage_table(
                 spark,
@@ -146,6 +185,7 @@ def main() -> None:
                 args.output_table,
                 args.lineage_table or f"{args.output_table}_lineage",
                 n_groups=args.groups,
+                io=TableIO(spark, default_format=args.table_format),
             )
         else:
             from fineweb_legal_spark.lineage import run_with_lineage

@@ -117,3 +117,35 @@ def test_batch_writer_replay_is_idempotent(spark, _env):
     assert (
         spark.table(TBL).select("batch_id").distinct().count() == 2
     )
+
+
+def test_stream_summary_counts_from_recent_progress():
+    """ADVICE r4 (jobs/run_filter.py): the streaming summary must count
+    batches from recentProgress (lastProgress can be None or just the
+    final empty flush) and must flag an all-empty run that never created
+    the table sink."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "jobs"))
+    from run_filter import stream_summary
+
+    class FakeQ:
+        def __init__(self, progresses):
+            self.recentProgress = progresses
+            self.lastProgress = progresses[-1] if progresses else None
+
+    # multi-batch run whose final batch is the empty watermark flush:
+    # the old lastProgress-based line would report the flush batch only
+    q = FakeQ([{"numInputRows": 5}, {"numInputRows": 3}, {"numInputRows": 0}])
+    s = stream_summary(q, "tbl", table_missing=False)
+    assert s["batches"] == 3 and s["batches_nonempty"] == 2
+    assert "note" not in s
+
+    # all-empty run with no table created -> explicit note, not silence
+    s = stream_summary(FakeQ([{"numInputRows": 0}]), "tbl", table_missing=True)
+    assert s["batches_nonempty"] == 0 and "never created" in s["note"]
+
+    # no progress at all (lastProgress is None) -> batches=0, not null
+    s = stream_summary(FakeQ([]), "tbl", table_missing=True)
+    assert s["batches"] == 0 and "note" in s
