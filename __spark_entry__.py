@@ -1492,7 +1492,13 @@ def q_splits_and_tiers(spark, sf_dir):
 
 def q_topk_groups(spark, sf_dir):
     # A7 top-k group counts on two tables (doc sources, web domains incl.
-    # C10 host extraction), config-tagged
+    # C10 host extraction) + the domain-blocklist verdict counts,
+    # config-tagged
+    from fineweb_legal_spark.operators.domains import (
+        domain_blocklist_filter,
+        url_host,
+    )
+
     a = q_top_sources_docs(spark, sf_dir).select(
         F.lit("doc_sources").alias("config"),
         F.col("source").alias("key"),
@@ -1503,7 +1509,30 @@ def q_topk_groups(spark, sf_dir):
         F.col("domain").alias("key"),
         "docs",
     )
-    return a.unionByName(b)
+    # 'blocked_domains': operators/domains.domain_blocklist_filter over
+    # the web corpus with a parent-domain blocklist (each entry below a
+    # PARENT of real fixture hosts — law.example.org, www.cnn.com,
+    # www.abcnews.go.com — so the suffix-chain match, not string
+    # equality, is what trips). Per-blocked-host counts + one
+    # '__unblocked__' row pinning the negative side.
+    bl = spark.createDataFrame(
+        [("example.org",), ("cnn.com",), ("go.com",)], "domain string"
+    )
+    wv = domain_blocklist_filter(_webdocs(spark), bl)
+    blocked_hosts = (
+        wv.filter("blocked")
+        .groupBy(url_host(F.col("url")).alias("key"))
+        .agg(F.count(F.lit(1)).alias("docs"))
+    )
+    rest = (
+        wv.filter(~F.col("blocked"))
+        .agg(F.count(F.lit(1)).alias("docs"))
+        .select(F.lit("__unblocked__").alias("key"), "docs")
+    )
+    c = blocked_hosts.unionByName(rest).select(
+        F.lit("blocked_domains").alias("config"), "key", "docs"
+    )
+    return a.unionByName(b).unionByName(c)
 
 
 def _text_analysis_wide(spark, sf_dir):
@@ -1512,6 +1541,7 @@ def _text_analysis_wide(spark, sf_dir):
     # UDF passes the scalar columns through (keep_cols) — no join back on
     # doc_id, no second scan of the corpus
     from fineweb_legal_spark.operators.textql import (
+        blob_signals,
         doc_shape_signals,
         fineweb_quality_signals,
         fingerprint,
@@ -1521,8 +1551,14 @@ def _text_analysis_wide(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
+    # blob_signals' base64/hex run fractions ride the same pass (JVM
+    # regexp + aggregate HOF); its char_entropy Pandas UDF column is NOT
+    # selected, so Catalyst prunes the UDF out of this plan — entropy
+    # stays pytest-verified (no pure-SQL restatement exists for it)
     wide = fineweb_quality_signals(
-        doc_shape_signals(token_counts(quality_score(fingerprint(d))))
+        doc_shape_signals(
+            token_counts(quality_score(fingerprint(blob_signals(d))))
+        )
     ).select(
         "doc_id",
         "text",
@@ -1536,6 +1572,8 @@ def _text_analysis_wide(spark, sf_dir):
         "punct_line_frac",
         "short_line_frac",
         "newline_word_frac",
+        "base64_frac",
+        "hex_frac",
     )
     return predict_language(
         spark,
@@ -1552,6 +1590,8 @@ def _text_analysis_wide(spark, sf_dir):
             "punct_line_frac",
             "short_line_frac",
             "newline_word_frac",
+            "base64_frac",
+            "hex_frac",
         ),
     )
 
@@ -1648,9 +1688,12 @@ def q_prefix_dedup_t1(spark, sf_dir):
 
 
 def q_set_ops_docs(spark, sf_dir):
-    # U1/U2 harmonized union + U4 intersect overlap audit in one tagged
-    # frame (formerly two queries): 'key' is the doc_id for the union
-    # branch and the normalized text hash for the intersect branch.
+    # U1/U2 harmonized union + U4 intersect overlap audit + the corpus
+    # release diff in one tagged frame: 'key' is the doc_id for the
+    # union/diff branches and the normalized text hash for the intersect
+    # branch; for 'diff', source carries the per-document status.
+    from fineweb_legal_spark.operators.diff import corpus_diff
+
     u = q_union_by_name_docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("key"), "source", "lang"
     )
@@ -1659,7 +1702,38 @@ def q_set_ops_docs(spark, sf_dir):
         F.lit(None).cast("string").alias("source"),
         F.lit(None).cast("string").alias("lang"),
     )
-    return _tag(u, "union").unionByName(_tag(i, "intersect"))
+    # 'diff': operators/diff.corpus_diff between documents and a
+    # deterministically perturbed v2 (every 97th id removed, every 89th
+    # survivor's text suffixed, every 101st re-added under a shifted id)
+    # — all four statuses materialize. NULL-text 89th rows stay
+    # 'unchanged' in BOTH engines (concat with NULL is NULL, digested by
+    # the same sentinel).
+    d = _t(spark, sf_dir, "documents")
+    v2 = (
+        d.filter((F.col("doc_id") % 97) != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 89 == 0,
+                F.concat(F.col("text"), F.lit(" [v2]")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 101 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(10_000_000)
+            )
+        )
+    )
+    dv = corpus_diff(d, v2, key_col="doc_id", text_col="text").select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("status").alias("source"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    return (
+        _tag(u, "union")
+        .unionByName(_tag(i, "intersect"))
+        .unionByName(_tag(dv, "diff"))
+    )
 
 
 def q_transcript_repairs_t2(spark, sf_dir):
@@ -1669,12 +1743,16 @@ def q_transcript_repairs_t2(spark, sf_dir):
     # longest turn prefix within a 200-estimated-token budget (idx = the
     # original turn_idx, n = the running token total). Both pure JVM
     # window/aggregate plans over the conv_id partitioning.
+    from fineweb_legal_spark.operators.preference import preference_pairs
     from fineweb_legal_spark.operators.pseudonymize import pseudonymize_pii
     from fineweb_legal_spark.operators.repairs import (
         coerce_roles,
+        drop_retry_duplicates,
         repair_protocol,
+        split_episodes,
         truncate_conversation_tokens,
     )
+    from fineweb_legal_spark.operators.sft import sft_pairs
 
     t = spark.read.parquet(str(ensure_transcripts("t2")))
     co = coerce_roles(t).select(
@@ -1708,11 +1786,96 @@ def q_transcript_repairs_t2(spark, sf_dir):
         "text",
         F.col("n_pseudo").alias("n"),
     )
+    # 'retry': drop_retry_duplicates over t2 with deterministically
+    # injected retries (every turn_idx%7==3 turn re-committed at the next
+    # doubled index — the synthetic corpus has few natural consecutive
+    # identical (role, text) runs, so the injection makes the kept/dropped
+    # decision carry real signal). idx = the dense renumber, n = the
+    # surviving row's pre-renumber index.
+    doubled = t.select(
+        "conv_id",
+        (F.col("turn_idx") * 2).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+    )
+    injected = t.filter(F.col("turn_idx") % 7 == 3).select(
+        "conv_id",
+        (F.col("turn_idx") * 2 + 1).cast("int").alias("turn_idx"),
+        "role",
+        "text",
+    )
+    rt = drop_retry_duplicates(
+        doubled.unionByName(injected).withColumn("orig", F.col("turn_idx")),
+        renumber=True,
+    ).select(
+        "conv_id",
+        F.col("turn_idx").alias("idx"),
+        "role",
+        "text",
+        F.col("orig").cast("long").alias("n"),
+    )
+    # 'episodes': split_episodes over t2 with ts deterministically
+    # reshaped (quadratic per-turn offset mod 7200 s; every turn_idx%5==2
+    # ts nulled) so the gap rule trips both ways AND the NULL-ts
+    # inherit-the-episode contract is exercised — the raw fixture's flat
+    # 60 s cadence would label every turn episode 0. n = episode_idx.
+    ep_off = (
+        F.col("turn_idx").cast("long") * F.col("turn_idx") * 977
+    ) % 7200
+    ts2 = F.when(
+        F.col("turn_idx") % 5 != 2,
+        F.timestamp_add("SECOND", ep_off, F.col("ts")),
+    )
+    ep = split_episodes(t.withColumn("ts", ts2), gap_s=900).select(
+        "conv_id",
+        F.col("turn_idx").alias("idx"),
+        "role",
+        "text",
+        F.col("episode_idx").cast("long").alias("n"),
+    )
+    # 'sft': sft_pairs context assembly (operators/sft.py) — one row per
+    # assistant turn, text = the k-lag context window (oldest first),
+    # n = how many context turns were present.
+    sf = sft_pairs(t, context_turns=8).select(
+        "conv_id",
+        F.col("turn_idx").alias("idx"),
+        F.lit("assistant").alias("role"),
+        F.col("context").alias("text"),
+        F.col("n_context").cast("long").alias("n"),
+    )
+    # 'pref': preference_pairs best_vs_rest (operators/preference.py)
+    # over deterministic candidates (assistant turns of a conversation,
+    # score = char length): one row per (chosen, rejected) pair — idx =
+    # the rejected turn, text = the CHOSEN text, n = the chosen turn.
+    cand = t.filter(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("group_key"),
+        F.col("turn_idx").alias("cand_id"),
+        "text",
+        F.length("text").cast("double").alias("score"),
+    )
+    pp = preference_pairs(
+        cand,
+        group_col="group_key",
+        id_col="cand_id",
+        text_col="text",
+        score_col="score",
+        mode="best_vs_rest",
+    ).select(
+        F.col("group_key").alias("conv_id"),
+        F.col("rejected_id").alias("idx"),
+        F.lit("pair").alias("role"),
+        F.col("chosen").alias("text"),
+        F.col("chosen_id").cast("long").alias("n"),
+    )
     return (
         _tag(co, "coerce")
         .unionByName(_tag(tr, "truncate"))
         .unionByName(_tag(pr, "protocol"))
         .unionByName(_tag(ps, "pseudo"))
+        .unionByName(_tag(rt, "retry"))
+        .unionByName(_tag(ep, "episodes"))
+        .unionByName(_tag(sf, "sft"))
+        .unionByName(_tag(pp, "pref"))
     )
 
 
@@ -1811,15 +1974,69 @@ def q_scrub_repeated_spans_docs(spark, sf_dir):
 
 
 def q_validate_t2_all(spark, sf_dir):
-    # verdict-quality checks + transcript protocol checks, config-tagged
-    # on the harmonized (check, ok, n) shape
-    v = q_validate_t2(spark, sf_dir).select("check", "ok", "n")
+    # verdict-quality checks + transcript protocol checks + agent-stats
+    # and conversation-roll-up audits, config-tagged on the harmonized
+    # (check, ok, n, v) shape (v: the check's continuous statistic —
+    # NULL for the boolean-only configs)
+    from fineweb_legal_spark.operators.agentstats import (
+        lang_consistency,
+        tool_usage_stats,
+    )
+    from fineweb_legal_spark.operators.convfilter import (
+        conversation_verdicts,
+    )
+
+    nov = F.lit(None).cast("double").alias("v")
+    v = q_validate_t2(spark, sf_dir).select("check", "ok", "n", nov)
     s = q_validate_structure_t2(spark, sf_dir).select(
         "check",
         (F.col("violations") == 0).alias("ok"),
         F.col("violations").alias("n"),
+        nov,
     )
-    return _tag(v, "verdicts").unionByName(_tag(s, "structure"))
+    # 'tools' / 'tool_latency': operators/agentstats.tool_usage_stats
+    # over t2 — per-tool call/conversation counts, error fraction (ok =
+    # error_frac <= 0.5), and request->tool-turn latency
+    ts = tool_usage_stats(
+        spark.read.parquet(str(ensure_transcripts("t2")))
+    )
+    tools = ts.select(
+        F.col("tool").alias("check"),
+        (F.coalesce("error_frac", F.lit(0.0)) <= 0.5).alias("ok"),
+        F.col("calls").alias("n"),
+        F.col("error_frac").alias("v"),
+    )
+    tool_lat = ts.select(
+        F.col("tool").alias("check"),
+        F.col("mean_latency_s").isNotNull().alias("ok"),
+        F.col("conversations").alias("n"),
+        F.col("mean_latency_s").alias("v"),
+    )
+    # 'convroll': operators/convfilter.conversation_verdicts over the
+    # pipeline verdicts — the conversation-level keep/drop roll-up
+    # (ok = conv_keep at min_keep_frac=0.5, v = keep_frac)
+    cr = conversation_verdicts(_t2_verdicts(spark), min_keep_frac=0.5).select(
+        F.col("conv_id").alias("check"),
+        F.col("conv_keep").alias("ok"),
+        F.col("kept_turns").alias("n"),
+        F.col("keep_frac").alias("v"),
+    )
+    # 'langcons': operators/agentstats.lang_consistency over the same
+    # verdicts — majority language rides the check key, ok = monolingual
+    lc = lang_consistency(_t2_verdicts(spark)).select(
+        F.concat_ws(":", "conv_id", "majority_lang").alias("check"),
+        (F.col("n_langs") == 1).alias("ok"),
+        F.col("lang_turns").alias("n"),
+        F.col("majority_frac").alias("v"),
+    )
+    return (
+        _tag(v, "verdicts")
+        .unionByName(_tag(s, "structure"))
+        .unionByName(_tag(tools, "tools"))
+        .unionByName(_tag(tool_lat, "tool_latency"))
+        .unionByName(_tag(cr, "convroll"))
+        .unionByName(_tag(lc, "langcons"))
+    )
 
 
 def q_lsh_ann_union(spark, sf_dir):
@@ -3413,6 +3630,36 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT text_hash AS key, NULL AS source, NULL AS lang"
             f" FROM ({b['intersect_hashes_docs']})",
         ),
+        (
+            "diff",
+            # corpus_diff re-derived: same deterministic v2 perturbation,
+            # digest full-outer-join classification (digest sentinel for
+            # NULL text matches diff.py's _slim)
+            """
+            WITH newt AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 89 = 0 THEN text || ' [v2]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 97 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents
+              WHERE doc_id % 101 = 0
+            ),
+            o AS (SELECT doc_id,
+                         md5(coalesce(text, chr(0) || 'null')) AS dg
+                  FROM documents),
+            n AS (SELECT doc_id,
+                         md5(coalesce(text, chr(0) || 'null')) AS dg
+                  FROM newt)
+            SELECT CAST(doc_id AS VARCHAR) AS key,
+                   CASE WHEN o.dg IS NULL THEN 'added'
+                        WHEN n.dg IS NULL THEN 'removed'
+                        WHEN o.dg = n.dg THEN 'unchanged'
+                        ELSE 'changed' END AS source,
+                   NULL AS lang
+            FROM o FULL OUTER JOIN n USING (doc_id)
+            """,
+        ),
     )
     o["transcript_repairs_t2"] = tagged(
         (
@@ -3511,17 +3758,210 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{DATA_DIR}/golden/t2/pseudonymize.parquet')
             """,
         ),
+        (
+            "retry",
+            # independent window re-derivation of drop_retry_duplicates
+            # over the same injected-retry input (null-safe role+text
+            # compare against the predecessor, keep first of each run,
+            # dense renumber)
+            f"""
+            WITH src AS (
+              SELECT conv_id, turn_idx * 2 AS ti, role, text
+              FROM read_parquet('{ensure_transcripts("t2")}')
+              UNION ALL
+              SELECT conv_id, turn_idx * 2 + 1, role, text
+              FROM read_parquet('{ensure_transcripts("t2")}')
+              WHERE turn_idx % 7 = 3
+            ), k AS (
+              SELECT conv_id, ti, role, text,
+                     (role IS NOT DISTINCT FROM lag(role) OVER w)
+                     AND (text IS NOT DISTINCT FROM lag(text) OVER w) AS dup
+              FROM src WINDOW w AS (PARTITION BY conv_id ORDER BY ti)
+            )
+            SELECT conv_id,
+                   CAST(row_number() OVER (PARTITION BY conv_id
+                                           ORDER BY ti) - 1 AS INT) AS idx,
+                   role, text, CAST(ti AS BIGINT) AS n
+            FROM k WHERE NOT dup
+            """,
+        ),
+        (
+            "episodes",
+            # split_episodes re-derived: same deterministic ts reshaping
+            # (quadratic offset mod 7200, turn_idx%5==2 nulled), episode
+            # boundary when the gap from the last NON-NULL ts exceeds
+            # 900 s, running-sum label
+            f"""
+            WITH src AS (
+              SELECT conv_id, turn_idx, role, text,
+                     CASE WHEN turn_idx % 5 <> 2
+                          THEN CAST(epoch(ts) AS BIGINT)
+                               + (CAST(turn_idx AS BIGINT) * turn_idx * 977) % 7200
+                     END AS cur
+              FROM read_parquet('{ensure_transcripts("t2")}')
+            ), st AS (
+              SELECT conv_id, turn_idx, role, text, cur,
+                     last_value(cur IGNORE NULLS) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev
+              FROM src
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS idx, role, text,
+                   CAST(sum(CASE WHEN prev IS NOT NULL AND cur IS NOT NULL
+                                      AND cur - prev > 900
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY conv_id ORDER BY turn_idx
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n
+            FROM st
+            """,
+        ),
+        (
+            "sft",
+            # sft_pairs re-derived: 8 explicit lags of the rendered
+            # 'role: text' line, concat_ws-joined oldest-first (both
+            # engines' concat_ws skips NULLs and yields '' when all are)
+            f"""
+            WITH lines AS (
+              SELECT conv_id, turn_idx, role,
+                     coalesce(role, '') || ': ' || coalesce(text, '')
+                       AS line
+              FROM read_parquet('{ensure_transcripts("t2")}')
+            ), ctx AS (
+              SELECT conv_id, turn_idx, role,
+                     lag(line, 8) OVER w AS l8, lag(line, 7) OVER w AS l7,
+                     lag(line, 6) OVER w AS l6, lag(line, 5) OVER w AS l5,
+                     lag(line, 4) OVER w AS l4, lag(line, 3) OVER w AS l3,
+                     lag(line, 2) OVER w AS l2, lag(line, 1) OVER w AS l1
+              FROM lines
+              WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS idx,
+                   'assistant' AS role,
+                   concat_ws(chr(10), l8, l7, l6, l5, l4, l3, l2, l1)
+                     AS text,
+                   CAST(CAST(l8 IS NOT NULL AS INT)
+                        + CAST(l7 IS NOT NULL AS INT)
+                        + CAST(l6 IS NOT NULL AS INT)
+                        + CAST(l5 IS NOT NULL AS INT)
+                        + CAST(l4 IS NOT NULL AS INT)
+                        + CAST(l3 IS NOT NULL AS INT)
+                        + CAST(l2 IS NOT NULL AS INT)
+                        + CAST(l1 IS NOT NULL AS INT) AS BIGINT) AS n
+            FROM ctx WHERE role = 'assistant'
+            """,
+        ),
+        (
+            "pref",
+            # preference_pairs best_vs_rest re-derived: per-conversation
+            # argmax over (score DESC, cand_id ASC) of assistant turns
+            # scored by char length, paired against every other scored
+            # candidate
+            f"""
+            WITH cand AS (
+              SELECT conv_id, turn_idx AS cand_id, text,
+                     CAST(length(text) AS DOUBLE) AS score
+              FROM read_parquet('{ensure_transcripts("t2")}')
+              WHERE role = 'assistant' AND text IS NOT NULL
+            ), sel AS (
+              SELECT conv_id,
+                     first(cand_id ORDER BY score DESC, cand_id ASC)
+                       AS c_id,
+                     first(text ORDER BY score DESC, cand_id ASC)
+                       AS c_text,
+                     first(score ORDER BY score DESC, cand_id ASC)
+                       AS c_score
+              FROM cand GROUP BY conv_id
+            )
+            SELECT c.conv_id, CAST(c.cand_id AS INT) AS idx,
+                   'pair' AS role, s.c_text AS text,
+                   CAST(s.c_id AS BIGINT) AS n
+            FROM cand c JOIN sel s USING (conv_id)
+            WHERE c.cand_id <> s.c_id AND s.c_score - c.score >= 0
+            """,
+        ),
     )
     o["sample_audit_docs"] = tagged(
         ("hash1", f"SELECT doc_id FROM ({b['hash_sample_docs']})"),
         ("strat5", f"SELECT doc_id FROM ({b['stratified_sample_docs']})"),
     )
     o["validate_t2"] = (
-        f'SELECT \'verdicts\' AS config, "check", ok, n'
-        f" FROM ({b['validate_t2']})"
+        f'SELECT \'verdicts\' AS config, "check", ok, n,'
+        f" CAST(NULL AS DOUBLE) AS v FROM ({b['validate_t2']})"
         "\nUNION ALL\n"
         f'SELECT \'structure\' AS config, "check", violations = 0 AS ok,'
-        f" violations AS n FROM ({b['validate_structure_t2']})"
+        f" violations AS n, CAST(NULL AS DOUBLE) AS v"
+        f" FROM ({b['validate_structure_t2']})"
+        "\nUNION ALL\n"
+        # tool_usage_stats re-derived: latency = epoch gap to the turn a
+        # tool answers (lag over ALL turns, then restrict to tool turns),
+        # error = conservative failure-marker regex on the tool text
+        + f"""
+        SELECT config, "check", ok, n, v FROM (
+          WITH lat AS (
+            SELECT tool, role, conv_id, text,
+                   epoch(ts) - lag(epoch(ts)) OVER (
+                     PARTITION BY conv_id ORDER BY turn_idx) AS lat
+            FROM read_parquet('{ensure_transcripts("t2")}')
+          ), tl AS (
+            SELECT tool, conv_id, lat,
+                   coalesce(regexp_matches(text,
+                     '(?i)\\b(error|exception|traceback|failed|timeout)\\b'),
+                     FALSE) AS err
+            FROM lat WHERE role = 'tool' AND tool IS NOT NULL
+          ), agg AS (
+            SELECT tool,
+                   CAST(count(*) AS BIGINT) AS calls,
+                   CAST(count(DISTINCT conv_id) AS BIGINT) AS convs,
+                   round(avg(CAST(err AS INT)), 6) AS error_frac,
+                   round(avg(lat), 3) AS mean_latency
+            FROM tl GROUP BY tool
+          )
+          SELECT 'tools' AS config, tool AS "check",
+                 coalesce(error_frac, 0) <= 0.5 AS ok, calls AS n,
+                 error_frac AS v
+          FROM agg
+          UNION ALL
+          SELECT 'tool_latency', tool, mean_latency IS NOT NULL, convs,
+                 mean_latency
+          FROM agg
+        )
+        """
+        + "\nUNION ALL\n"
+        # conversation_verdicts re-derived over the golden verdicts
+        + f"""
+        SELECT 'convroll' AS config, conv_id AS "check",
+               CAST(kept_turns AS DOUBLE) / turns >= 0.5 AS ok,
+               kept_turns AS n,
+               round(CAST(kept_turns AS DOUBLE) / turns, 6) AS v
+        FROM (
+          SELECT conv_id, CAST(count(*) AS BIGINT) AS turns,
+                 CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS kept_turns
+          FROM read_parquet('{_golden_sql_path()}')
+          GROUP BY conv_id
+        )
+        """
+        + "\nUNION ALL\n"
+        # lang_consistency re-derived: majority by (count DESC, lang ASC)
+        + f"""
+        SELECT 'langcons' AS config, conv_id || ':' || maj AS "check",
+               n_langs = 1 AS ok, lang_turns AS n,
+               round(CAST(maj_n AS DOUBLE) / lang_turns, 6) AS v
+        FROM (
+          WITH pl AS (
+            SELECT conv_id, lang, CAST(count(*) AS BIGINT) AS c
+            FROM read_parquet('{_golden_sql_path()}')
+            WHERE lang IS NOT NULL GROUP BY conv_id, lang
+          )
+          SELECT conv_id,
+                 first(lang ORDER BY c DESC, lang ASC) AS maj,
+                 first(c ORDER BY c DESC, lang ASC) AS maj_n,
+                 CAST(sum(c) AS BIGINT) AS lang_turns,
+                 CAST(count(*) AS BIGINT) AS n_langs
+          FROM pl GROUP BY conv_id
+        )
+        """
     )
     o["splits_and_tiers"] = (
         f"SELECT 'split' AS config, split AS key, docs AS n"
@@ -3566,6 +4006,35 @@ def oracle_sql() -> dict[str, str]:
         "\nUNION ALL\n"
         f"SELECT 'web_domains' AS config, domain AS key, docs"
         f" FROM ({b['domain_topk_web']})"
+        "\nUNION ALL\n"
+        # domain_blocklist_filter re-derived: url_host mirror (lowercase,
+        # userinfo/port/trailing-dot stripped, '' -> NULL), parent-domain
+        # suffix match as equality-or-dot-suffix per blocklist entry
+        + f"""
+        SELECT 'blocked_domains' AS config, key, docs FROM (
+          WITH h AS (
+            SELECT nullif(regexp_replace(regexp_replace(lower(
+                     regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)',
+                       1)),
+                     ':[0-9]+$', ''), '\\.$', ''), '') AS host
+            FROM read_parquet('{_webdocs_sql_path()}')
+          ), v AS (
+            SELECT host,
+                   host IS NOT NULL AND (
+                     host = 'example.org' OR host LIKE '%.example.org'
+                     OR host = 'cnn.com' OR host LIKE '%.cnn.com'
+                     OR host = 'go.com' OR host LIKE '%.go.com')
+                     AS blocked
+            FROM h
+          )
+          SELECT host AS key, CAST(count(*) AS BIGINT) AS docs
+          FROM v WHERE blocked GROUP BY host
+          UNION ALL
+          SELECT '__unblocked__', CAST(count(*) AS BIGINT)
+          FROM v WHERE NOT blocked
+        )
+        """
     )
 
     # wide single-pass frames: joins / flat aggregates over the variants
@@ -3646,6 +4115,7 @@ def oracle_sql() -> dict[str, str]:
                t.ws_tokens, t.bpe_ish_tokens,
                s.alpha_word_frac, s.bullet_line_frac, s.ellipsis_line_frac,
                s.punct_line_frac, s.short_line_frac, s.newline_word_frac,
+               bl.base64_frac, bl.hex_frac,
                kn.kn_ppl
         FROM ({b['langid_docs']}) l
         JOIN ({b['quality_score_docs']}) q USING (doc_id)
@@ -3683,6 +4153,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         ) s ON s.doc_id = l.doc_id
         JOIN ({kn_sql}) kn ON kn.doc_id = l.doc_id
+        JOIN (
+            -- blob_signals run fractions: total chars inside long
+            -- base64-ish / hex-ish runs over total chars
+            SELECT doc_id,
+                   CASE WHEN text IS NOT NULL THEN
+                     round(CAST(coalesce(list_sum(list_transform(
+                               regexp_extract_all(text,
+                                   '[A-Za-z0-9+/=]{{48,}}'),
+                               x -> length(x))), 0) AS DOUBLE)
+                           / greatest(length(text), 1), 6)
+                   END AS base64_frac,
+                   CASE WHEN text IS NOT NULL THEN
+                     round(CAST(coalesce(list_sum(list_transform(
+                               regexp_extract_all(text,
+                                   '[0-9a-fA-F]{{32,}}'),
+                               x -> length(x))), 0) AS DOUBLE)
+                           / greatest(length(text), 1), 6)
+                   END AS hex_frac
+            FROM documents
+        ) bl ON bl.doc_id = l.doc_id
     """
     o["json_softmax_events"] = f"""
         SELECT j.event_id, j.k, s.score, s.label, s.is_legal

@@ -60,6 +60,20 @@ HEADLINE = (
     "top_sources_docs",
 )
 
+# the expensive round-4 operator families (r4 verdict item 2): trended so
+# a plan regression in any of them shows up as a wall-time jump instead
+# of a timed-out correctness sweep. These are measured with a noop WRITE,
+# not count(): their outputs are text-heavy and a count() lets Catalyst
+# prune the very columns (and the windows/joins feeding them) whose cost
+# we're trending.
+HEADLINE_HEAVY = (
+    "neardup_pairs",
+    "text_analysis_docs",
+    "repetition_signals_docs",
+    "scrub_repeated_spans_docs",
+    "transcript_repairs_t2",
+)
+
 # mutable result assembled as phases complete; the signal handler prints
 # whatever is here if the process is killed mid-run
 RESULT: dict = {
@@ -402,6 +416,28 @@ def main() -> None:
         )
         t0 = time.time()
         _count(df)
+        el = time.time() - t0
+        RESULT["queries"][name] = round(el, 2)
+        total += el
+        RESULT["value"] = round(total, 2)
+
+    for name in HEADLINE_HEAVY:
+        if budget.exceeded():
+            RESULT["queries"][name] = None
+            continue
+        fn = qs.get(name) or getattr(entrymod, f"q_{name}")
+        df = fn(spark, sf_dir)
+
+        def run_heavy():
+            df.write.format("noop").mode("overwrite").save()
+
+        t0 = time.time()
+        run_heavy()
+        RESULT.setdefault("queries_cold", {})[name] = round(
+            time.time() - t0, 2
+        )
+        t0 = time.time()
+        run_heavy()
         el = time.time() - t0
         RESULT["queries"][name] = round(el, 2)
         total += el

@@ -33,7 +33,12 @@ def tool_usage_stats(
     ts of the immediately preceding turn — the request it answers;
     NULL-ts pairs drop out of the latency aggregates only)."""
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    lat = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # double-cast via TIMESTAMP: a TIMESTAMP_NTZ column (what parquet
+    # round-trips) cannot cast straight to DOUBLE under ANSI; the
+    # intermediate cast is the identity under the engine's pinned UTC
+    # session timezone and keeps fractional seconds
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    lat = epoch - F.lag(epoch).over(w)
     tools = (
         df.withColumn("_lat", lat)
         .filter(_is_tool() & F.col("tool").isNotNull())
