@@ -110,6 +110,7 @@ def repetition_signals(
     ns: tuple[int, ...] = (2, 3, 4),
     id_col: str = "doc_id",
     text_col: str = "text",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Gopher-style repetition signals: for each document and each n in
     ``ns``, the most frequent word n-gram and the fraction of the
@@ -124,21 +125,110 @@ def repetition_signals(
     Ties resolve deterministically to the lexicographically greatest gram
     among those with the highest covered-character count.
 
-    Scale shape: NO word-level shuffle and no lambda higher-order
-    functions (CodegenFallback in this Spark). The n-gram stream is built
-    row-locally with arrays_zip over shifted copies of the word array
-    (shorter slices null-pad, and concat's null-propagation drops the
-    ragged tail), then two chained explodes. Both aggregations are
-    map-side combinable: the first exchange carries distinct
-    (doc, n, gram) triples — never text — and the second carries one row
-    per (doc, n). The top-1 is max(struct(covered, gram, cnt)), not a
-    window, so no extra sort.
+    ``impl="arrow"`` (default, the scale path): the per-document top
+    gram is a ROW-LOCAL computation — no other document's data enters it
+    — so one Arrow-batched kernel (split → count → argmax per n, the
+    same documented per-string-kernel category as the MinHash shingler)
+    computes it with ZERO exchanges, zero explodes, and O(words-in-doc)
+    memory per row.  This exists because the exchange plan below, though
+    map-side combinable and praised at 2M rows, was measured DYING at
+    10M rows on 32 cores (round 5, tools/stress10m.py): ~1.5B exploded
+    gram strings hit sort-based aggregation fallback and spilled >70 GB
+    to disk before ENOSPC.  Shuffle volume ~15x corpus bytes is not a
+    plan that survives 100 TB; a zero-shuffle kernel at ~linear cost is.
 
-    Per-row memory is O(max(ns) x words-in-doc) for the zipped shifted
-    arrays — bounded by document length, not partition or corpus size.
+    ``impl="exchange"`` (the former default, kept for the plan audit and
+    for engines where Python workers are unavailable): row-local
+    arrays_zip n-gram stream, two chained explodes, two map-side
+    combinable aggregations — the first exchange carries distinct
+    (doc, n, gram) triples, the second one row per (doc, n).  Correct,
+    and fine when corpus_bytes x gram_multiplier fits the shuffle tier;
+    prefer "arrow" beyond that.
+
     Pathological single documents (10^8+ words) should be span-pre-split
     upstream, the same policy packing applies to giant conversations.
     """
+    if impl == "arrow":
+        return _repetition_signals_arrow(df, ns, id_col, text_col)
+    if impl != "exchange":
+        raise ValueError(f"impl {impl!r} not in ('arrow', 'exchange')")
+    return _repetition_signals_exchange(df, ns, id_col, text_col)
+
+
+def _repetition_signals_arrow(
+    df: DataFrame,
+    ns: tuple[int, ...],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Zero-exchange kernel: count/argmax each document's n-grams inside
+    one Arrow batch; the only non-scalar step is the row-local explode of
+    the per-document (<=|ns|)-element result array.  Identical output
+    contract to the exchange plan (same split/lower/tie semantics; the
+    randomized Counter-twin parity test runs against BOTH impls)."""
+    import re
+    from collections import Counter
+
+    from pyspark.sql.functions import pandas_udf
+
+    ns = tuple(int(n) for n in ns)
+    ws_rx = re.compile("[ \t\n\r\f\x0b]+")
+
+    @pandas_udf(
+        "array<struct<n:int,top_gram:string,top_cnt:bigint,covered:bigint>>"
+    )
+    def _tops(s: pd.Series) -> pd.Series:
+        out = []
+        for t in s:
+            if t is None:
+                out.append([])
+                continue
+            words = [w for w in ws_rx.split(t.lower()) if w]
+            recs = []
+            for n in ns:
+                if len(words) < n:
+                    continue
+                counts = Counter(
+                    " ".join(words[j : j + n])
+                    for j in range(len(words) - n + 1)
+                )
+                gram, c = max(
+                    counts.items(),
+                    key=lambda kv: (kv[1] * len(kv[0]), kv[0]),
+                )
+                recs.append(
+                    {
+                        "n": n,
+                        "top_gram": gram,
+                        "top_cnt": c,
+                        "covered": c * len(gram),
+                    }
+                )
+            out.append(recs)
+        return pd.Series(out)
+
+    base = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("_chars"),
+        F.explode(_tops(F.col(text_col))).alias("_t"),
+    )
+    return base.select(
+        id_col,
+        F.col("_t.n").alias("n"),
+        F.col("_t.top_gram").alias("top_gram"),
+        F.col("_t.top_cnt").alias("top_cnt"),
+        F.round(
+            F.col("_t.covered").cast("double") / F.col("_chars"), 6
+        ).alias("top_gram_char_frac"),
+    )
+
+
+def _repetition_signals_exchange(
+    df: DataFrame,
+    ns: tuple[int, ...],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
     max_n = max(ns)
     w = F.array_remove(
         F.split(F.lower(F.col(text_col)), "[ \t\n\r\f\x0b]+"), ""

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyspark.sql.functions as F
+import pytest
 
 from fineweb_legal_spark.datasets import DATA_DIR, ensure_media, ensure_transcripts
 
@@ -610,7 +611,8 @@ def test_scrub_repeated_spans_planted(spark):
     assert got[6] == ("short text", 0)
 
 
-def test_repetition_signals_exact_and_plan(spark):
+@pytest.mark.parametrize("impl", ["arrow", "exchange"])
+def test_repetition_signals_exact_and_plan(spark, impl):
     from fineweb_legal_spark.operators.textql import repetition_signals
 
     docs = spark.createDataFrame(
@@ -624,7 +626,7 @@ def test_repetition_signals_exact_and_plan(spark):
         ],
         ["doc_id", "text"],
     )
-    out = repetition_signals(docs)
+    out = repetition_signals(docs, impl=impl)
     # plan BEFORE execution: post-collect explain shows the final AQE
     # plan whose node format differs (isFinalPlan=true, query stages)
     plan = out._jdf.queryExecution().explainString(
@@ -632,10 +634,18 @@ def test_repetition_signals_exact_and_plan(spark):
             "formatted"
         )
     )
-    # scale contract: exactly two Exchanges (gram agg + per-doc top agg),
-    # no Python eval, no window sort, no lambda HOF nodes
-    assert plan.count(") Exchange") == 2, plan
-    assert "BatchEvalPython" not in plan
+    if impl == "exchange":
+        # exchange-plan contract: exactly two Exchanges (gram agg +
+        # per-doc top agg), no Python eval, no window sort, no lambda HOF
+        assert plan.count(") Exchange") == 2, plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+    else:
+        # scale contract (round 5, after the 10M ENOSPC finding): the
+        # arrow kernel plans ZERO exchanges — one Arrow eval + a
+        # row-local explode, nothing shuffles at any corpus size
+        assert plan.count(") Exchange") == 0, plan
+        assert "ArrowEvalPython" in plan
     assert ") Window" not in plan
     got = {
         (r["doc_id"], r["n"]): (r["top_gram"], r["top_cnt"], r["top_gram_char_frac"])
@@ -709,10 +719,12 @@ def test_semantic_dedup_honors_id_col(spark):
     assert out == {10: (10, True), 11: (10, False), 12: (12, True)}
 
 
-def test_repetition_signals_randomized_python_parity(spark):
+@pytest.mark.parametrize("impl", ["arrow", "exchange"])
+def test_repetition_signals_randomized_python_parity(spark, impl):
     """200 seeded random docs (tiny vocab forces heavy gram collisions,
-    mixed whitespace separators, empties/nulls): Spark == a pure-Python
-    Counter twin on (top_gram, top_cnt) exactly and frac to 1e-6."""
+    mixed whitespace separators, empties/nulls): BOTH impls == a
+    pure-Python Counter twin on (top_gram, top_cnt) exactly and frac to
+    1e-6 — which also pins arrow == exchange."""
     import random
     import re as _re
     from collections import Counter
@@ -737,7 +749,7 @@ def test_repetition_signals_randomized_python_parity(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     got = {
         (r["doc_id"], r["n"]): (r["top_gram"], r["top_cnt"], r["top_gram_char_frac"])
-        for r in repetition_signals(df).collect()
+        for r in repetition_signals(df, impl=impl).collect()
     }
 
     want = {}
