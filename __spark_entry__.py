@@ -1638,9 +1638,27 @@ def q_window_events(spark, sf_dir):
 
 
 def q_customer_order_joins(spark, sf_dir):
-    # J2 semi-join + J1/J3 anti-join overlap audits, config-tagged
-    return _tag(q_semi_join_customers(spark, sf_dir), "semi").unionByName(
-        _tag(q_anti_join_customers(spark, sf_dir), "anti")
+    # J2 semi-join + J1/J3 anti-join overlap audits, config-tagged, plus
+    # 'bloom_anti': the SAME anti-join routed through the Bloom semi-join
+    # reduction (operators/bloom.py bloom_filtered_antijoin — rows the
+    # filter rules out bypass the join exchange; only might-contain
+    # survivors shuffle). No false negatives => exact, so the plain
+    # NOT IN oracle restates it verbatim — the driver row pins the
+    # exactness claim the pytest parity test makes.
+    from fineweb_legal_spark.operators.bloom import bloom_filtered_antijoin
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    ba = bloom_filtered_antijoin(
+        c.select(F.col("c_custkey").alias("key")),
+        o.select(F.col("o_custkey").alias("key")),
+        "key",
+        fpp=0.01,
+    ).select(F.col("key").alias("c_custkey"))
+    return (
+        _tag(q_semi_join_customers(spark, sf_dir), "semi")
+        .unionByName(_tag(q_anti_join_customers(spark, sf_dir), "anti"))
+        .unionByName(_tag(ba, "bloom_anti"))
     )
 
 
@@ -3557,6 +3575,9 @@ def oracle_sql() -> dict[str, str]:
     o["customer_order_joins"] = tagged(
         ("semi", b["semi_join_customers"]),
         ("anti", b["anti_join_customers"]),
+        # bloom_filtered_antijoin is EXACT (bloom = prefilter only, no
+        # false negatives), so the plain anti-join restates it
+        ("bloom_anti", b["anti_join_customers"]),
     )
     o["neardup_pairs"] = tagged(
         (
