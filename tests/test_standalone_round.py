@@ -99,3 +99,24 @@ def test_fold_same_window_pairs_skip_midpoints():
     assert sw["pairs"] == 2
     assert sw["best"] == 0.91
     assert sw["n_ge_0.8"] == 2
+
+
+def test_fold_reports_ratio_of_medians():
+    """Round 5: the pair-ratio median is biased downward when host noise
+    lands asymmetrically on the all-cores 4N leg (a noise hit can only
+    shrink a pair, never grow it). fold also reports the ratio of each
+    leg's throughput MEDIAN — robust to the 4N left tail — alongside
+    the conservative pair median, never instead of it."""
+    rounds = [
+        _r("N", 20000.0), _r("4N", 72000.0),   # 0.9
+        _r("N", 20000.0), _r("4N", 20000.0),   # 0.25: 4N-leg host event
+        _r("N", 20000.0), _r("4N", 76000.0),   # 0.95
+    ]
+    out = fold(rounds)
+    # pair view keeps the poisoned pair
+    assert out["same_window"]["median"] == 0.9
+    # leg-median view discards the single 4N outlier:
+    # median(4N)=72000, median(N)=20000 -> 0.9
+    assert out["efficiency_median_throughput"] == 0.9
+    # headline (same_window median) unchanged by the new stat
+    assert out["efficiency_basis"] == "same_window_median"

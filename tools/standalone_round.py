@@ -238,6 +238,27 @@ def fold(rounds: list[dict]) -> dict:
             "median": mid[len(mid) // 2],
             "n_ge_0.8": sum(1 for p in pairs if p >= 0.8),
         }
+    # ratio-of-medians: median(4N turns/s) / median(N turns/s) / 4.  The
+    # two legs see host noise ASYMMETRICALLY — the pinned 8-core N leg is
+    # insulated from most contention (measured CoV ~3% across the round-5
+    # ledger) while the all-32-core 4N leg absorbs every host event (CoV
+    # ~25%, left-tailed) — so the median-of-pair-ratios headline is
+    # biased DOWNWARD: a noise hit can only shrink a pair, never grow
+    # it.  Taking the median of each leg's throughput distribution first
+    # discards the 4N left tail instead of letting single bad windows
+    # each poison one pair; it is the robust aggregate of the same data,
+    # reported alongside (not instead of) the conservative pair median.
+    med = {}
+    for size in ("N", "4N"):
+        xs = sorted(
+            r["turns_per_sec"] for r in rounds if r["size"] == size
+        )
+        if xs:
+            med[size] = xs[len(xs) // 2]
+    if "N" in med and "4N" in med and med["N"]:
+        out["efficiency_median_throughput"] = round(
+            (med["4N"] / med["N"]) / 4, 3
+        )
     # HEADLINE = same-window median once enough pairs exist. Cross-window
     # best-per-size divides numbers from different host conditions; with
     # the ~10-round standalone ledger that is noise-dominated (a single
