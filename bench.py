@@ -317,7 +317,11 @@ def _cached_standalone() -> dict:
         try:
             c = json.loads(STANDALONE_CACHE.read_text())
             out = {"cached": True, "efficiency": c.get("efficiency")}
-            for k in ("efficiency_basis", "efficiency_best_per_size"):
+            for k in (
+                "efficiency_basis",
+                "efficiency_best_per_size",
+                "efficiency_median_throughput",
+            ):
                 if c.get(k) is not None:
                     out[k] = c[k]
             if c.get("same_window"):
