@@ -68,17 +68,18 @@ PICKS = {
         "top-k per source is a small window after the join."
     ),
     "repetition_signals_docs": (
-        "Gopher repetition family, tagged union. top_gram branch: n-grams "
-        "built row-locally (arrays_zip over shifted slices + chained "
-        "explodes - no lambda HOFs, no word-level shuffle); exactly two "
-        "exchanges, both map-side combinable (distinct (doc, n, gram) "
-        "triples, then one row per (doc, n)); top-1 is max(struct), not a "
-        "window. dup_gram branch: pure per-row Arrow pass (crc32+Horner "
-        "hash stream + diff-array interval union) - zero Exchange. "
-        "dup_line branch (round 4): per-row pandas explode+groupby "
-        "kernel - zero Exchange. cascade branch (round 4): the full "
-        "document-quality verdict - zero Exchange (see "
-        "document_quality_cascade below)."
+        "Gopher repetition family, tagged union — every branch ZERO "
+        "Exchange as of round 5. top_gram branch: the per-document top "
+        "gram needs no cross-document data, so it is one Arrow kernel "
+        "(split -> Counter -> argmax inside a batch) + a row-local "
+        "explode; the former 2-exchange plan over exploded gram triples "
+        "(kept as impl='exchange') measured DYING at 10M rows — ~1.5B "
+        "gram strings, sort-agg fallback, >70 GB spill, ENOSPC — and the "
+        "kernel is also 5.5x faster at 2M (BENCH.md round-5 stress). "
+        "dup_gram branch: per-row Arrow pass (crc32+Horner hash stream + "
+        "diff-array interval union). dup_line branch: per-row pandas "
+        "explode+groupby kernel. cascade branch: the full "
+        "document-quality verdict (see document_quality_cascade below)."
     ),
     "document_quality_cascade": (
         "Round 4: every heuristic rule family (Gopher doc-shape, FineWeb "
@@ -158,12 +159,29 @@ PICKS = {
         "text crosses the wire exactly once, into the final mask pass."
     ),
     "transcript_repairs_t2": (
-        "Round-4 transcript repairs, tagged union: coerce (run-flag "
-        "window -> run groupBy with ordered array_join) and truncate "
-        "(cumulative-token window filter). The audit point: both branches "
-        "hash-partition on conv_id ONLY — the same key every pipeline "
+        "Transcript repairs, 8-config tagged union (round 5 added retry/"
+        "episodes/sft/pref): coerce (run-flag window -> run groupBy with "
+        "ordered array_join), truncate (cumulative-token window filter), "
+        "retry (null-safe lag dedup + dense renumber), episodes "
+        "(ignore-nulls last_value gap window), sft (k lags of the "
+        "rendered line, concat_ws — O(k) frame, never an unbounded "
+        "collect_list), pref (argmax-first window, both orderings on the "
+        "same partitioning). The audit point: every branch "
+        "hash-partitions on conv_id ONLY — the same key every pipeline "
         "stage uses — and text appears in no extra exchange beyond the "
         "per-conversation grouping itself."
+    ),
+    "pipeline_scrub_counts": (
+        "Round-5 fusion (r4 verdict): all 8 scrub-audit counters "
+        "(occurrences + turns_hit per redaction token) in ONE wide "
+        "map-side-combinable aggregate over the persisted verdicts — a "
+        "single scan with a one-row-per-partition partial-sum exchange, "
+        "then a 4-row stack + sort. The former shape was four unioned "
+        "groupBy passes re-reading the cache. Inventory note: all but "
+        "the last Exchange below belong to the SHARED pipeline_verdicts "
+        "lineage (persisted at runtime — see that section); the fusion "
+        "itself is the tail HashAggregate -> single-row Exchange -> "
+        "HashAggregate -> stack -> Sort."
     ),
     "prefix_dedup_t1": (
         "Conversation prefix dedup (round 4): exactly TWO exchanges — the "
