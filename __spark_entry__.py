@@ -46,6 +46,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _widen(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan widening for Python-kernel passes (round 6).
+
+    The sandbox fixture tables are single-row-group parquet files, so the
+    scan plans 1-2 splits and every zero-Exchange Arrow kernel downstream
+    serializes onto 1-2 of the 32 cores (measured: dup_ngram_signals at
+    sf1.0 ran 11.9 s on a 2-split scan). When — and only when — the scan
+    has fewer splits than the cluster has slots, one tiny RoundRobin
+    exchange (~15 MB here) spreads the rows; a production many-file table
+    already has >= slots splits, the condition is false, and the plan is
+    untouched (same policy as _transcripts' documented fixture
+    repartition, but conditional instead of unconditional)."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return _widen(spark, _t(spark, sf_dir, name))
+
+
 def _transcripts(spark: SparkSession) -> DataFrame:
     # The synthetic t2 table is one 6 MB parquet file with a single row
     # group -> a 1-task scan that would serialize the model stage onto one
@@ -943,7 +965,7 @@ def q_repetition_signals_docs(spark, sf_dir):
         repetition_signals,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     top = repetition_signals(docs).select(
         "doc_id",
         F.lit("top_gram").alias("signal"),
@@ -1058,7 +1080,7 @@ def q_decontaminate_docs(spark, sf_dir):
     # join, never a corpus shuffle (operators/decontam.py)
     from fineweb_legal_spark.operators.decontam import decontaminate
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 37 == 0)
     return decontaminate(d, bench, n=8)
 
@@ -1550,7 +1572,7 @@ def _text_analysis_wide(spark, sf_dir):
         token_counts,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     # blob_signals' base64/hex run fractions ride the same pass (JVM
     # regexp + aggregate HOF); its char_entropy Pandas UDF column is NOT
     # selected, so Catalyst prunes the UDF out of this plan — entropy
@@ -1605,7 +1627,7 @@ def q_text_analysis_docs(spark, sf_dir):
     # re-derivation of the full KN estimate, not a golden twin.
     from fineweb_legal_spark.operators.knlm import kn_doc_perplexity
 
-    d = _t(spark, sf_dir, "documents")
+    d = _tw(spark, sf_dir, "documents")
     wide = _text_analysis_wide(spark, sf_dir)
     return wide.join(kn_doc_perplexity(d), "doc_id")
 
@@ -1987,7 +2009,7 @@ def q_scrub_repeated_spans_docs(spark, sf_dir):
     from fineweb_legal_spark.operators.spandedup import scrub_repeated_spans
 
     return scrub_repeated_spans(
-        _t(spark, sf_dir, "documents"), n=8, min_docs=2
+        _tw(spark, sf_dir, "documents"), n=8, min_docs=2
     )
 
 

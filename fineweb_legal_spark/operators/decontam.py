@@ -80,6 +80,31 @@ def ascii_words(text: str) -> list[str]:
     return [w for w in _ASCII_WS.split(text.lower()) if w]
 
 
+def word_hashes(words: list[str]) -> np.ndarray:
+    """One crc32 per word (uint64) — the per-word half of the rolling
+    gram kernel, factored out so multi-n callers (dup_ngram_signals,
+    repetition_profile: n in 2..10) hash each word ONCE instead of once
+    per n (round 6: the crc32 loop was ~1/3 of the kernel and was being
+    re-run 6-9x per document)."""
+    return np.fromiter(
+        (zlib.crc32(w.encode("utf-8")) for w in words),
+        dtype=np.uint64,
+        count=len(words),
+    )
+
+
+def gram_hashes_from_word_hashes(wh: np.ndarray, n: int) -> np.ndarray:
+    """Horner combine of precomputed word hashes into positional n-gram
+    hashes (index i = gram starting at word i)."""
+    if len(wh) < n:
+        return np.empty(0, dtype=np.uint64)
+    m = len(wh) - n + 1
+    g = np.zeros(m, dtype=np.uint64)
+    for j in range(n):
+        g = g * _BASE + wh[j : j + m]
+    return g
+
+
 def rolling_gram_hash_stream(words: list[str], n: int) -> np.ndarray:
     """POSITIONAL 64-bit hashes of every n-word gram of ``words`` (index i
     = gram starting at word i): one crc32 per WORD, then Horner over n
@@ -89,16 +114,7 @@ def rolling_gram_hash_stream(words: list[str], n: int) -> np.ndarray:
     positions) — one definition, one hash identity."""
     if len(words) < n:  # no grams; np.zeros(negative) would raise
         return np.empty(0, dtype=np.uint64)
-    wh = np.fromiter(
-        (zlib.crc32(w.encode("utf-8")) for w in words),
-        dtype=np.uint64,
-        count=len(words),
-    )
-    m = len(words) - n + 1
-    g = np.zeros(m, dtype=np.uint64)
-    for j in range(n):
-        g = g * _BASE + wh[j : j + m]
-    return g
+    return gram_hashes_from_word_hashes(word_hashes(words), n)
 
 
 def _rolling_gram_hashes(words: list[str], n: int) -> np.ndarray:

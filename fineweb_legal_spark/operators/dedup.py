@@ -236,25 +236,209 @@ def simhash_neardup_pairs(df: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).filter(F.col("hamming") <= max_hamming)
 
 
-def exact_jaccard_pairs(df: DataFrame, threshold: float) -> DataFrame:
-    """Exact word-set Jaccard over ALL pairs — the small-scale baseline the
-    LSH paths are validated against (O(n^2): use only on bounded inputs)."""
+def exact_jaccard_pairs(
+    df: DataFrame, threshold: float, impl: str = "auto"
+) -> DataFrame:
+    """Exact word-set Jaccard pairs at >= ``threshold``.
+
+    ``impl="auto"`` (default): probe the token vocabulary with one bounded
+    builder-time job (limit-65 distinct collect — driver traffic <= 65
+    rows).  A vocabulary of <= 64 tokens means every word set is a 64-bit
+    BITMASK, so Jaccard is popcount arithmetic over DISTINCT masks:
+    group the corpus by mask (set identity), compare group pairs with
+    native bit_count(a&b)/bit_count(a|b), and expand qualifying group
+    pairs back to member doc pairs.  Work drops from O(n^2) array
+    intersections to O(G^2) integer ops + O(output) expansion, where G =
+    number of distinct word sets (G << n on duplicate-saturated corpora —
+    the regime this operator targets).  Larger vocabularies fall back to
+    ``prefix``.
+
+    ``impl="prefix"``: prefix-filtered AllPairs candidate generation
+    (Bayardo et al. 2007 / PPJoin's prefix principle) — EXACT, not
+    approximate: order the token universe globally (document frequency
+    ascending, token ascending), keep only each document's first
+    ``sz - floor(t*sz) + 1`` tokens as its prefix; any pair with
+    J >= t must share a prefix token, so an equi-join on prefix tokens
+    plus exact verification of the candidates reproduces the all-pairs
+    result while scanning O(sum df_prefix^2) instead of O(n^2).  The
+    candidate threshold is slacked by 1e-4 below ``threshold`` because the
+    emitted jaccard is rounded HALF_UP to 4 decimals before the >= filter
+    (a true J of 0.79995 rounds to 0.8000 and must still be found).
+
+    ``impl="crossjoin"``: the original O(n^2) cross join — kept for the
+    plan audit and as the verification twin (use only on bounded inputs).
+
+    All three produce identical output (pytest-pinned pairwise).
+    """
     words = F.array_distinct(F.split(F.lower(F.trim("text")), " "))
-    t = df.select(F.col("id").cast("string"), words.alias("w"))
-    # nested-loop join parallelism == partitions of the streamed side; a
-    # single-file source would otherwise run the whole n^2 loop in one task
-    a, b = t.repartition(32).alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w")))
-    union = F.size(F.col("a.w")) + F.size(F.col("b.w")) - inter
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a.id") < F.col("b.id"))
+    if impl == "auto":
+        probe = (
+            df.select(F.explode(words).alias("tok")).distinct().limit(65).collect()
+        )
+        if len(probe) <= 64:
+            return _exact_jaccard_bitmask(
+                df, threshold, sorted(r.tok for r in probe)
+            )
+        impl = "prefix"
+    if impl == "crossjoin":
+        t = df.select(F.col("id").cast("string"), words.alias("w"))
+        # nested-loop join parallelism == partitions of the streamed side;
+        # a single-file source would otherwise run the n^2 loop in one task
+        a, b = t.repartition(32).alias("a"), t.alias("b")
+        inter = F.size(F.array_intersect(F.col("a.w"), F.col("b.w")))
+        union = F.size(F.col("a.w")) + F.size(F.col("b.w")) - inter
+        return (
+            a.crossJoin(b)
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(inter.cast("double") / union, 4).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+        )
+    if impl != "prefix":
+        raise ValueError(f"impl {impl!r} not in ('prefix', 'crossjoin')")
+
+    from pyspark.sql import Window
+
+    # candidate-generation threshold: strictly below every true J that can
+    # round up into the output (round-to-4 boundary is t - 5e-5; 1e-4 is
+    # safely under it). floor() instead of the theorem's ceil() widens the
+    # prefix by at most one token — conservative in the safe direction
+    # under floating-point evaluation of t*sz.
+    t_pref = max(0.0, threshold - 1e-4)
+    t = df.select(F.col("id").cast("string"), words.alias("w")).withColumn(
+        "sz", F.size("w")
+    )
+    tok = t.select("id", "sz", F.explode("w").alias("tok"))
+    # document frequency per token: w is per-doc distinct, so count() == df
+    dfc = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w_id = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("tok"))
+    pref = (
+        tok.join(dfc, "tok")
+        .withColumn("rn", F.row_number().over(w_id))
+        .filter(
+            F.col("rn")
+            <= F.col("sz") - F.floor(F.lit(t_pref) * F.col("sz")) + 1
+        )
+        .select("id", "sz", "tok")
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "tok"
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        # size filter (also exact-preserving under the slacked threshold):
+        # J >= t implies min(sz) >= t * max(sz)
+        .filter(
+            F.least("sz_a", "sz_b").cast("double")
+            >= F.lit(t_pref) * F.greatest("sz_a", "sz_b")
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = cand.join(
+        t.select(F.col("id").alias("id_a"), F.col("w").alias("w_a")), "id_a"
+    ).join(
+        t.select(F.col("id").alias("id_b"), F.col("w").alias("w_b")), "id_b"
+    )
+    inter = F.size(F.array_intersect("w_a", "w_b"))
+    union = F.size("w_a") + F.size("w_b") - inter
+    return v.select(
+        "id_a",
+        "id_b",
+        F.round(inter.cast("double") / union, 4).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def _exact_jaccard_bitmask(
+    df: DataFrame, threshold: float, vocab: list[str]
+) -> DataFrame:
+    """Exact Jaccard pairs when the token vocabulary fits 64 bits.
+
+    Word sets are subsets of ``vocab``, so each set IS a long bitmask and
+    set intersection/union are AND/OR + popcount — integer-exact, same
+    numerator/denominator as size(array_intersect)/sizes, so the rounded
+    jaccard is bit-identical to the cross-join path.  The plan:
+
+    1. mask per doc (token -> 1<<idx map literal, row-local aggregate);
+    2. group by mask: G distinct sets, G <= min(n, 2^|vocab|);
+    3. G x G group-pair compare: the grouped side is tiny, so one
+       broadcast nested-loop join over a repartitioned left evaluates
+       bit_count filters at codegen speed (vs n^2 array intersections);
+       a popcount band prune (min >= t*max) drops impossible pairs before
+       the division;
+    4. expand qualifying group pairs to member pairs (two equi-joins on
+       mask, AQE skew-split; orientation by string id to match the
+       cross join's ``a.id < b.id``).
+
+    ``vocab`` must cover every token in ``df`` (the auto-probe guarantees
+    this); a missing token would null the row's mask and silently drop it.
+    """
+    t_pref = max(0.0, threshold - 1e-4)  # round-to-4 boundary slack
+    bit = {tok: 1 << i for i, tok in enumerate(vocab)}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in bit.items() for x in kv]
+    )
+    words = F.array_distinct(F.split(F.lower(F.trim("text")), " "))
+    mask = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(mapping.getItem(x)),
+    )
+    dm = df.select(
+        F.col("id").cast("string").alias("id"), mask.alias("mask")
+    ).filter(F.col("mask").isNotNull())
+    gm = dm.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
+    ga = gm.select(F.col("mask").alias("mask_a"), F.col("cnt").alias("cnt_a"))
+    gb = gm.select(F.col("mask").alias("mask_b"), F.col("cnt").alias("cnt_b"))
+    sz_a = F.bit_count(F.col("mask_a"))
+    sz_b = F.bit_count(F.col("mask_b"))
+    inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
+    union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+    pairs = (
+        # keyless repartition: BNLJ parallelism == left partitions, and
+        # the post-aggregation left would otherwise be 1 AQE-coalesced
+        # partition running the whole G^2 loop in one task
+        ga.repartition(64)
+        .crossJoin(F.broadcast(gb))
+        .filter(
+            (F.col("mask_a") < F.col("mask_b"))
+            | ((F.col("mask_a") == F.col("mask_b")) & (F.col("cnt_b") >= 2))
+        )
+        .filter(
+            F.least(sz_a, sz_b).cast("double")
+            >= F.lit(t_pref) * F.greatest(sz_a, sz_b)
+        )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "mask_a",
+            "mask_b",
             F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+    return (
+        pairs.join(
+            dm.select(F.col("mask").alias("mask_a"), F.col("id").alias("_xa")),
+            "mask_a",
+        )
+        .join(
+            dm.select(F.col("mask").alias("mask_b"), F.col("id").alias("_xb")),
+            "mask_b",
+        )
+        .filter(
+            (F.col("mask_a") != F.col("mask_b")) | (F.col("_xa") < F.col("_xb"))
+        )
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "jaccard",
+        )
     )
 
 

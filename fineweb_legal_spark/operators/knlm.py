@@ -65,9 +65,10 @@ def _word_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (the engine's shared ascii-whitespace tokenizer contract,
     operators/decontam.ascii_words); null texts are excluded and get
     their perplexity at the final left join instead."""
-    arr = F.filter(
-        F.split(F.lower(F.col(text_col)), WS_SPLIT), lambda x: x != F.lit("")
-    )
+    # array_remove, not a filter() lambda: the higher-order function is
+    # CodegenFallback (interpreted per element), array_remove is codegen'd
+    # — same result (drops every "" element)
+    arr = F.array_remove(F.split(F.lower(F.col(text_col)), WS_SPLIT), "")
     return df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("_kn_id"), arr.alias("arr")
     )
@@ -116,47 +117,64 @@ def kn_doc_perplexity(
     vocab = kn_vocabulary(words, vocab_size)
 
     bi = _bigram_stream(words)
-    v1 = F.broadcast(vocab.select(F.col("w").alias("w1"), F.lit(True).alias("_in1")))
-    v2 = F.broadcast(vocab.select(F.col("w").alias("w2"), F.lit(True).alias("_in2")))
+    # ONE vocab membership frame, self-joined twice via alias: the two
+    # BroadcastExchanges canonicalize identically, so the second is a
+    # ReusedExchange and the vocabulary aggregation runs once, not twice
+    vt = vocab.withColumn("_in", F.lit(True))
+    va, vb = vt.alias("_va"), vt.alias("_vb")
     mapped = (
-        bi.join(v1, "w1", "left")
-        .join(v2, "w2", "left")
+        bi.join(
+            F.broadcast(va), F.col("w1") == F.col("_va.w"), "left"
+        )
+        .join(F.broadcast(vb), F.col("w2") == F.col("_vb.w"), "left")
         .select(
             "_kn_id",
-            F.when(F.col("_in1"), F.col("w1")).otherwise(F.lit(UNK)).alias("m1"),
-            F.when(F.col("_in2"), F.col("w2")).otherwise(F.lit(UNK)).alias("m2"),
+            F.when(F.col("_va._in"), F.col("w1"))
+            .otherwise(F.lit(UNK))
+            .alias("m1"),
+            F.when(F.col("_vb._in"), F.col("w2"))
+            .otherwise(F.lit(UNK))
+            .alias("m2"),
         )
     )
 
     types = mapped.groupBy("m1", "m2").agg(F.count(F.lit(1)).alias("c12"))
-    left = types.groupBy("m1").agg(
-        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p_left")
-    )
-    right = types.groupBy("m2").agg(F.count(F.lit(1)).alias("n1p_right"))
-    total = types.agg(F.count(F.lit(1)).alias("n1p_all"))
 
+    # all four KN count statistics as WINDOWS over the types frame, not
+    # three aggregate-then-join-back branches: types is bounded by
+    # (V+1)^2 rows, so the windows are cheap, and the expensive mapped
+    # subtree appears ONCE here instead of four times (round 6: the
+    # join-back formulation planned 32 input scans / 49 exchanges — each
+    # of types/left/right/total re-instantiated scan->vocab-joins->agg).
+    # The global window for N1+(* *) is a single-partition pass over the
+    # same bounded frame. Arithmetic order matches the join formulation
+    # exactly ((d * n1p_left) * (n1p_right / n1p_all), then / c1), so p
+    # is bit-identical and the DuckDB oracle is untouched.
+    from pyspark.sql import Window
+
+    wm1 = Window.partitionBy("m1")
+    wm2 = Window.partitionBy("m2")
+    wall = Window.partitionBy()
     d = F.lit(float(discount))
-    prob = (
-        types.join(left, "m1")
-        .join(right, "m2")
-        .crossJoin(F.broadcast(total))
-        .select(
-            "m1",
-            "m2",
+    prob = types.select(
+        "m1",
+        "m2",
+        (
             (
-                (
-                    F.greatest(F.col("c12") - d, F.lit(0.0))
-                    + d
-                    * F.col("n1p_left")
-                    * (F.col("n1p_right") / F.col("n1p_all"))
+                F.greatest(F.col("c12") - d, F.lit(0.0))
+                + d
+                * F.count(F.lit(1)).over(wm1)
+                * (
+                    F.count(F.lit(1)).over(wm2)
+                    / F.count(F.lit(1)).over(wall)
                 )
-                / F.col("c1")
-            ).alias("p"),
-        )
+            )
+            / F.sum("c12").over(wm1)
+        ).alias("p"),
     )
 
     scored = (
-        mapped.join(prob, ["m1", "m2"])
+        mapped.join(F.broadcast(prob), ["m1", "m2"])
         .groupBy("_kn_id")
         .agg(F.exp(-F.avg(F.log("p"))).alias("_ppl"))
     )

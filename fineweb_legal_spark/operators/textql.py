@@ -407,7 +407,7 @@ def dup_ngram_signals(
     """
     import numpy as np
 
-    from .decontam import ascii_words, rolling_gram_hash_stream
+    from .decontam import ascii_words, gram_hashes_from_word_hashes, word_hashes
 
     ns_sorted = tuple(sorted(ns))
     # the id rides through with its INPUT type — a hardcoded LongType here
@@ -436,10 +436,11 @@ def dup_ngram_signals(
                     (len(x) for x in w), dtype=np.int64, count=len(w)
                 )
                 total = int(wl.sum())
+                wh = word_hashes(w)  # crc32 each word ONCE across all ns
                 for n in ns_sorted:
                     if len(w) < n:
                         break  # ns sorted: larger n can't fit either
-                    g = rolling_gram_hash_stream(w, n)
+                    g = gram_hashes_from_word_hashes(wh, n)
                     _, inv, cnt = np.unique(
                         g, return_inverse=True, return_counts=True
                     )
@@ -816,7 +817,7 @@ def repetition_profile(
     """
     import numpy as np
 
-    from .decontam import ascii_words, rolling_gram_hash_stream
+    from .decontam import ascii_words, gram_hashes_from_word_hashes, word_hashes
 
     ns = tuple(sorted(ns))
     dup_ns = tuple(sorted(dup_ns))
@@ -843,10 +844,11 @@ def repetition_profile(
                         )
                         cum = np.concatenate(([0], np.cumsum(wl)))
                         wchars = int(cum[-1])
+                        wh = word_hashes(w)  # once across ns AND dup_ns
                         for n in ns:
                             if len(w) < n:
                                 break
-                            g = rolling_gram_hash_stream(w, n)
+                            g = gram_hashes_from_word_hashes(wh, n)
                             _, first, inv, cnt = np.unique(
                                 g,
                                 return_index=True,
@@ -876,7 +878,7 @@ def repetition_profile(
                         for n in dup_ns:
                             if len(w) < n:
                                 break
-                            g = rolling_gram_hash_stream(w, n)
+                            g = gram_hashes_from_word_hashes(wh, n)
                             _, inv, cnt = np.unique(
                                 g, return_inverse=True, return_counts=True
                             )

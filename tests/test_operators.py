@@ -2480,6 +2480,48 @@ def test_cross_neardup_only_cross_pairs(spark):
     assert got == {("n1", "o1"), ("n2", "o1")}
 
 
+def test_exact_jaccard_impls_identical(spark):
+    # round 6: exact_jaccard_pairs grew two scale plans (auto->bitmask for
+    # <=64-token vocabularies; prefix-filtered AllPairs otherwise). All
+    # must reproduce the O(n^2) cross join bit-for-bit — including rows
+    # whose true J < t but round(J, 4) >= t, and empty/NULL-text rows.
+    from fineweb_legal_spark.operators.dedup import exact_jaccard_pairs
+
+    def pairs(df, impl, thr=0.8):
+        return sorted(
+            (r.id_a, r.id_b, r.jaccard)
+            for r in exact_jaccard_pairs(df, thr, impl=impl).collect()
+        )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("id"), "text"
+    )
+    ref = pairs(d, "crossjoin")
+    assert ref  # fixture must actually produce near-dup pairs
+    assert pairs(d, "auto") == ref
+    assert pairs(d, "prefix") == ref
+
+    # corner cases: empty strings (the [""] token set), NULL text, a
+    # rounding-boundary pair (J = 4/5 = 0.8), and a >64-token vocabulary
+    # so auto routes through the prefix path
+    vocab_blower = " ".join(f"tok{i}" for i in range(70))
+    rows = [
+        ("a", "x y z w v"),
+        ("b", "x y z w q"),          # J = 4/6 = 0.6667: out at 0.8
+        ("c", "x y z w v u"),        # vs a: J = 5/6 = 0.8333: in
+        ("d", ""),
+        ("e", ""),                   # d-e: the [""] sets, J = 1.0
+        ("f", None),
+        ("g", vocab_blower),
+        ("h", vocab_blower),         # g-h: J = 1.0
+    ]
+    corner = spark.createDataFrame(rows, ["id", "text"])
+    ref2 = pairs(corner, "crossjoin")
+    assert ("d", "e", 1.0) in ref2 and ("g", "h", 1.0) in ref2
+    assert pairs(corner, "auto") == ref2
+    assert pairs(corner, "prefix") == ref2
+
+
 def test_calibration_curve_bins_and_exclusions(spark):
     from fineweb_legal_spark.operators.classifier import calibration_curve
 
