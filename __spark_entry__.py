@@ -1794,7 +1794,7 @@ def q_transcript_repairs_t2(spark, sf_dir):
     )
     from fineweb_legal_spark.operators.sft import sft_pairs
 
-    t = spark.read.parquet(str(ensure_transcripts("t2")))
+    t = _widen(spark, spark.read.parquet(str(ensure_transcripts("t2"))))
     co = coerce_roles(t).select(
         "conv_id",
         F.col("new_idx").alias("idx"),

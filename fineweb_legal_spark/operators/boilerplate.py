@@ -141,7 +141,14 @@ def strip_common_lines(
         .filter(F.col("_common").isNull())
         .select("id", "pos", "line")
     )
-    rebuilt = kept.groupBy("id").applyInPandas(_rebuild, schema=_REBUILD_SCHEMA)
+    from .parallel import repartition_for_group_kernel
+
+    # width-pinned exchange before the Python rebuild kernel (see
+    # operators/parallel.py: AQE's byte-sized coalescing under-parallelizes
+    # Python group stages; the groupBy reuses this partitioning)
+    rebuilt = repartition_for_group_kernel(kept, "id").groupBy(
+        "id"
+    ).applyInPandas(_rebuild, schema=_REBUILD_SCHEMA)
     # re-attach docs that lost every line ('') or had null text (null)
     base = docs.select(
         F.col(id_col).cast("string").alias("id"),

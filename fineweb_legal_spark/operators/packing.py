@@ -118,10 +118,12 @@ def pack_turns(
         .cast("long")
         .alias("tok"),
     )
+    from .parallel import repartition_for_group_kernel
+
     if span_turns is None:
-        return toks.groupBy("conv_id").applyInPandas(
-            _pack_group(budget), schema=_PACK_SCHEMA
-        )
+        return repartition_for_group_kernel(toks, "conv_id").groupBy(
+            "conv_id"
+        ).applyInPandas(_pack_group(budget), schema=_PACK_SCHEMA)
     # pre-split on fixed turn_idx ranges — NOT a row_number window, which
     # would itself sort the whole giant conversation in one task (the
     # exact skew being escaped). Sparse turn_idx just yields smaller
@@ -132,9 +134,9 @@ def pack_turns(
     spanned = toks.withColumn(
         "_span", F.floor(F.col("turn_idx") / F.lit(span_turns)).cast("long")
     )
-    packed = spanned.groupBy("conv_id", "_span").applyInPandas(
-        _pack_span_group(budget), schema=_PACK_SPAN_SCHEMA
-    )
+    packed = repartition_for_group_kernel(spanned, "conv_id", "_span").groupBy(
+        "conv_id", "_span"
+    ).applyInPandas(_pack_span_group(budget), schema=_PACK_SPAN_SCHEMA)
     woff = (
         Window.partitionBy("conv_id")
         .orderBy("_span")

@@ -94,6 +94,12 @@ def conversation_prefix_digests(
         F.col(turn_col).cast("int").alias("turn_idx"),
         F.md5(F.lower(F.trim(F.col(text_col)))).alias("turn_key"),
     )
+    from .parallel import repartition_for_group_kernel
+
+    # width-pinned exchange: stops AQE coalescing this small shuffle
+    # below the core count and serializing the Python kernel (the groupBy
+    # reuses the same hash partitioning — still one shuffle)
+    turns = repartition_for_group_kernel(turns, "conv_id")
     return turns.groupBy("conv_id").applyInPandas(
         _prefix_digests, schema=_PREFIX_SCHEMA
     )

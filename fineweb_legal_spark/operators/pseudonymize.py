@@ -245,10 +245,17 @@ def pseudonymize_pii(
             }
         )
 
+    from .parallel import repartition_for_group_kernel
+
     slim = df.select(
         F.col(conv_col).alias("conv_id"),
         F.col(turn_col).cast("int").alias("turn_idx"),
         F.col(role_col).alias("role"),
         F.col(text_col).alias("text"),
     )
+    # width-pinned exchange (operators/parallel.py): AQE would coalesce
+    # this few-MB shuffle to 1-2 partitions and serialize the Python
+    # kernel; the groupBy below reuses the same hash partitioning, so
+    # the plan still has exactly one shuffle
+    slim = repartition_for_group_kernel(slim, "conv_id")
     return slim.groupBy("conv_id").applyInPandas(_apply, schema=schema)

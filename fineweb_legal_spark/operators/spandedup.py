@@ -99,8 +99,14 @@ def _gram_pos_fn(n: int, id_col: str, text_col: str):
     return fn
 
 
-def _mask_fn(n: int, id_col: str, text_col: str):
+def _mask_fn(n: int, id_col: str, text_col: str, bc_hot=None):
+    """``bc_hot``: optional broadcast of a SORTED int64 array of hot gram
+    hashes — their positions are recomputed locally (searchsorted against
+    the doc's own gram stream) instead of arriving through the join-back,
+    so hot grams never put (id, pos) rows on an exchange."""
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hot = bc_hot.value if bc_hot is not None else None
         for pdf in batches:
             out_id: list = []
             out_text: list[str | None] = []
@@ -114,13 +120,25 @@ def _mask_fn(n: int, id_col: str, text_col: str):
                     out_n.append(0)
                     continue
                 w = ascii_words(text)
-                if hits is None or len(hits) == 0:
+                covered = None
+                if hits is not None and len(hits):
+                    covered = np.zeros(len(w), dtype=bool)
+                    for p in hits:
+                        covered[int(p) : int(p) + n] = True
+                if hot is not None and len(hot) and len(w) >= n:
+                    g = rolling_gram_hash_stream(w, n).view(np.int64)
+                    j = np.searchsorted(hot, g)
+                    j[j == len(hot)] = 0
+                    hp = np.flatnonzero(hot[j] == g)
+                    if len(hp):
+                        if covered is None:
+                            covered = np.zeros(len(w), dtype=bool)
+                        for p in hp:
+                            covered[p : p + n] = True
+                if covered is None:
                     out_text.append(" ".join(w))
                     out_n.append(0)
                     continue
-                covered = np.zeros(len(w), dtype=bool)
-                for p in hits:
-                    covered[int(p) : int(p) + n] = True
                 kept = [x for x, c in zip(w, covered) if not c]
                 out_text.append(" ".join(kept))
                 out_n.append(int(covered.sum()))
@@ -142,10 +160,26 @@ def scrub_repeated_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_limit: int | None = None,
+    hot_grams: int | None = 1 << 20,
 ) -> DataFrame:
     """(doc_id, clean_text, n_masked): every document with all words
     covered by a cross-document repeated n-gram (document frequency >=
     ``min_docs``) removed from its normalized token stream.
+
+    ``hot_grams`` (round 6, the duplicate-saturation guard): the top-K
+    repeated grams by (document frequency desc, gram asc) are collected
+    once at plan-build time (bounded driver traffic: K int64 hashes,
+    8 MB at the default 2^20) and BROADCAST to the mask kernel, which
+    recomputes their positions locally from the document's own gram
+    stream.  Hot grams therefore contribute ZERO (id, pos) rows to the
+    join-back exchange — on duplicate-saturated corpora (>50% whole-turn
+    repeats, the regime the round-5 10M stress measured growing
+    super-linearly) the exchange volume collapses to the long tail.
+    The cutoff is deterministic (exact integer counts, total tie order),
+    and the hot set is a plan statistic, not a result cache: every
+    execution still recomputes the tail frequency table, the positions,
+    and the masks from the parquet input.  ``hot_grams=None`` disables
+    the tier (pure join-back, the round-5 plan).
 
     ``broadcast_limit``: None (default) leaves the repeated-set join
     strategy to AQE's runtime shuffle stats; an int pins it by hand
@@ -157,29 +191,61 @@ def scrub_repeated_spans(
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("_df"))
     )
-    common = freq.filter(F.col("_df") >= min_docs).select("gram")
-    if broadcast_limit is None:
-        join_side = common
-    else:
-        n_common = common.count()
-        join_side = (
-            F.broadcast(common)
-            if n_common <= broadcast_limit
-            else common.hint("shuffle_hash")
+    common = freq.filter(F.col("_df") >= min_docs)
+
+    bc_hot = None
+    if hot_grams:
+        hot_pdf = (
+            common.orderBy(F.desc("_df"), F.asc("gram"))
+            .limit(int(hot_grams))
+            .select("gram", "_df")
+            .toPandas()
         )
+        if len(hot_pdf):
+            hot_arr = np.sort(hot_pdf["gram"].to_numpy(dtype=np.int64))
+            bc_hot = docs.sparkSession.sparkContext.broadcast(hot_arr)
+        if len(hot_pdf) < int(hot_grams):
+            # every repeated gram is hot: no tail, no join-back at all
+            common = None
+        else:
+            # tail = strictly below the deterministic (df, gram) cutoff
+            kth_df = int(hot_pdf["_df"].iloc[-1])
+            kth_gram = int(hot_pdf["gram"].iloc[-1])
+            common = common.filter(
+                (F.col("_df") < kth_df)
+                | ((F.col("_df") == kth_df) & (F.col("gram") > kth_gram))
+            )
 
     id_type = docs.schema[id_col].dataType
-    gram_pos = docs.select(id_col, text_col).mapInPandas(
-        _gram_pos_fn(n, id_col, text_col), schema=_gram_pos_schema(id_type)
-    )
-    hitlists = (
-        gram_pos.join(join_side, "gram")
-        .groupBy("id")
-        .agg(F.collect_list("pos").alias("hit_positions"))
-    )
-    joined = docs.select(
+    base = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias(text_col)
-    ).join(hitlists, "id", "left")
+    )
+    if common is None:
+        joined = base.withColumn(
+            "hit_positions", F.lit(None).cast("array<int>")
+        )
+    else:
+        common = common.select("gram")
+        if broadcast_limit is None:
+            join_side = common
+        else:
+            n_common = common.count()
+            join_side = (
+                F.broadcast(common)
+                if n_common <= broadcast_limit
+                else common.hint("shuffle_hash")
+            )
+        gram_pos = docs.select(id_col, text_col).mapInPandas(
+            _gram_pos_fn(n, id_col, text_col),
+            schema=_gram_pos_schema(id_type),
+        )
+        hitlists = (
+            gram_pos.join(join_side, "gram")
+            .groupBy("id")
+            .agg(F.collect_list("pos").alias("hit_positions"))
+        )
+        joined = base.join(hitlists, "id", "left")
     return joined.mapInPandas(
-        _mask_fn(n, "id", text_col), schema=_scrub_schema(id_type)
+        _mask_fn(n, "id", text_col, bc_hot=bc_hot),
+        schema=_scrub_schema(id_type),
     ).withColumnRenamed("id", id_col)

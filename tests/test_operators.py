@@ -611,6 +611,42 @@ def test_scrub_repeated_spans_planted(spark):
     assert got[6] == ("short text", 0)
 
 
+def test_scrub_repeated_spans_hot_tier_identical(spark):
+    # round 6: the duplicate-saturation guard (hot-gram broadcast tier)
+    # must not change a single output row. Three plans over the same
+    # corpus: join-only (hot_grams=None, the round-5 shape), all-hot
+    # (default: every repeated gram fits the top-K), and a FORCED
+    # hot/tail split (hot_grams=1: one gram hot, the rest take the
+    # join-back) — identical results, including null/short/empty rows.
+    from fineweb_legal_spark.operators.spandedup import scrub_repeated_spans
+
+    span = "all rights reserved this text is a canned licence block here"
+    other = "another repeated paragraph that shows up in two documents too"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {span} gamma delta"),
+            (2, f"{span} unrelated tail words and then {other}"),
+            (3, f"prefix words here {other} suffix"),
+            (4, span),
+            (5, None),
+            (6, "short text"),
+            (7, "independent document with no repeats at all ok"),
+        ],
+        ["doc_id", "text"],
+    )
+
+    def run(**kw):
+        return sorted(
+            (r["doc_id"], r["clean_text"], r["n_masked"])
+            for r in scrub_repeated_spans(docs, n=8, min_docs=2, **kw).collect()
+        )
+
+    ref = run(hot_grams=None)
+    assert any(nm > 0 for _, _, nm in ref)  # the fixture really masks
+    assert run() == ref            # default top-K covers everything
+    assert run(hot_grams=1) == ref  # forced hot/tail split
+
+
 @pytest.mark.parametrize("impl", ["arrow", "exchange"])
 def test_repetition_signals_exact_and_plan(spark, impl):
     from fineweb_legal_spark.operators.textql import repetition_signals
