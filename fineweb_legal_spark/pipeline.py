@@ -99,24 +99,36 @@ def heuristic_features(df: DataFrame) -> DataFrame:
     lclean = F.regexp_replace(lclean, "^\n+|\n+$", "")
     df = _let(df, _norm=_norm_ws(text), _lclean=lclean)
 
-    # layer 2: token/line arrays and raw counts
+    # layer 2: token/line arrays and raw counts. One shared lower(norm)
+    # and ONE split serve word_count, stop_count and the distinct-word
+    # array (round 6: the old layer lowered norm twice and split twice —
+    # split(norm) and split(lower(norm)) have identical element COUNTS,
+    # since lowercasing never creates or removes a space, so word_count
+    # can read size(_lower_words)).
     norm, lc = F.col("_norm"), F.col("_lclean")
+    df = _let(df, _lnorm=F.lower(norm))
+    lnorm = F.col("_lnorm")
     df = _let(
         df,
         n_chars=F.length(text),
-        word_count=F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))),
-        _lower_words=F.split(F.lower(norm), " "),
+        _lower_words=F.split(lnorm, " "),
         _lines=F.split(lc, "\n"),
         symbol_count=F.length(text)
         - F.length(F.regexp_replace(text, spec.SYMBOL_CLASS_RE, "")),
         stop_count=F.when(norm == "", F.lit(0)).otherwise(
             F.size(
                 F.regexp_extract_all(
-                    F.concat(F.lit(" "), F.lower(norm), F.lit(" ")),
+                    F.concat(F.lit(" "), lnorm, F.lit(" ")),
                     F.lit(_STOP_RX),
                     0,
                 )
             )
+        ),
+    )
+    df = _let(
+        df,
+        word_count=F.when(norm == "", F.lit(0)).otherwise(
+            F.size(F.col("_lower_words"))
         ),
     )
 
@@ -138,7 +150,7 @@ def heuristic_features(df: DataFrame) -> DataFrame:
             - F.size(F.array_distinct(F.col("_lines"))).cast("double") / line_count,
         ),
     )
-    return df.drop("_norm", "_lclean", "_lower_words", "_lines")
+    return df.drop("_norm", "_lclean", "_lnorm", "_lower_words", "_lines")
 
 
 def conversation_stats(df: DataFrame) -> DataFrame:
@@ -149,9 +161,16 @@ def conversation_stats(df: DataFrame) -> DataFrame:
     the P16 skew pattern. Integer sums keep the final double division
     bit-identical to the pandas oracle's mean.
     """
-    norm = _norm_ws(F.col("text"))
+    # word count WITHOUT building the normalized string: words are the
+    # maximal non-whitespace runs of the raw text (normalization collapses
+    # whitespace but never merges or splits words), so ONE
+    # regexp_extract_all pass replaces the two-regex norm chain + split
+    # (round 6: 2.6 -> ~1.3 s of the conv-stats phase at 2M rows).
+    # size(NULL array) is NULL (legacy sizeOfNull off), so the coalesce
+    # keeps null-text turns at 0 exactly as before.
     wc = F.coalesce(
-        F.when(norm == "", F.lit(0)).otherwise(F.size(F.split(norm, " "))), F.lit(0)
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[^ \t\n\r\f\x0b]+"), 0)),
+        F.lit(0),
     ).cast("long")
     partial = (
         df.select("conv_id", (F.col("turn_idx") % CONV_SALT).alias("_salt"), wc.alias("_wc"))
