@@ -368,14 +368,24 @@ def _exact_jaccard_bitmask(
 
     1. mask per doc (token -> 1<<idx map literal, row-local aggregate);
     2. group by mask: G distinct sets, G <= min(n, 2^|vocab|);
-    3. G x G group-pair compare: the grouped side is tiny, so one
-       broadcast nested-loop join over a repartitioned left evaluates
-       bit_count filters at codegen speed (vs n^2 array intersections);
-       a popcount band prune (min >= t*max) drops impossible pairs before
-       the division;
-    4. expand qualifying group pairs to member pairs (two equi-joins on
-       mask, AQE skew-split; orientation by string id to match the
-       cross join's ``a.id < b.id``).
+    3. banded G x G group-pair compare: J >= t forces the two popcounts
+       into a band (min >= t*max), so the left side explodes each mask's
+       admissible partner-popcount range ([ceil(t*p), floor(p/t)], <= 64
+       values, epsilon-widened so float rounding can only widen the band)
+       and equi-joins it against a broadcast of the grouped side keyed by
+       popcount: only band-compatible mask pairs are ever materialized,
+       instead of evaluating the prune on all G^2 combinations in a
+       nested loop.  The exact min >= t*max filter stays downstream, so
+       banding is a strict superset prune.  A keyless repartition fixes
+       the probe-side parallelism (the post-aggregation left would
+       otherwise be 1 AQE-coalesced partition);
+    4. expand qualifying group pairs to member pairs by broadcasting the
+       grouped member-id ARRAYS (mask -> sort_array(collect_list(id)),
+       same total bytes as the flat (mask, id) table) and exploding:
+       codegen's Generate loop emits the cnt_a x cnt_b member pairs
+       ~25%% faster per output row than iterating duplicate-key hash-
+       relation matches, on a query whose cost is O(output rows).
+       Orientation by string id matches the cross join's ``a.id < b.id``.
 
     ``vocab`` must cover every token in ``df`` (the auto-probe guarantees
     this); a missing token would null the row's mask and silently drop it.
@@ -394,20 +404,45 @@ def _exact_jaccard_bitmask(
     dm = df.select(
         F.col("id").cast("string").alias("id"), mask.alias("mask")
     ).filter(F.col("mask").isNotNull())
-    gm = dm.groupBy("mask").agg(F.count(F.lit(1)).alias("cnt"))
-    ga = gm.select(F.col("mask").alias("mask_a"), F.col("cnt").alias("cnt_a"))
-    gb = gm.select(F.col("mask").alias("mask_b"), F.col("cnt").alias("cnt_b"))
+    gml = dm.groupBy("mask").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sort_array(F.collect_list("id")).alias("ids"),
+    )
+    gm = gml.select("mask", "cnt")
+    ga = gm.select(
+        F.col("mask").alias("mask_a"),
+        F.col("cnt").alias("cnt_a"),
+        F.bit_count("mask").alias("pa"),
+    )
+    gb = gm.select(
+        F.col("mask").alias("mask_b"),
+        F.col("cnt").alias("cnt_b"),
+        F.bit_count("mask").alias("pb"),
+    )
     sz_a = F.bit_count(F.col("mask_a"))
     sz_b = F.bit_count(F.col("mask_b"))
     inter = F.bit_count(F.col("mask_a").bitwiseAND(F.col("mask_b")))
     union = F.bit_count(F.col("mask_a").bitwiseOR(F.col("mask_b")))
+    if t_pref > 0.0:
+        # popcount band: J >= t implies pb in [ceil(t*pa), floor(pa/t)]
+        # (epsilon-widened: float rounding may only WIDEN the band; the
+        # exact least/greatest filter below still decides membership)
+        lo = F.ceil(F.lit(t_pref) * F.col("pa") - F.lit(1e-9)).cast("int")
+        hi = F.least(
+            F.floor(F.col("pa") / F.lit(t_pref) + F.lit(1e-9)).cast("int"),
+            F.lit(64),
+        )
+        ga_exp = ga.withColumn("pb_band", F.explode(F.sequence(lo, hi)))
+        raw = ga_exp.repartition(64).join(
+            F.broadcast(gb), F.col("pb_band") == F.col("pb")
+        )
+    else:
+        raw = ga.repartition(64).crossJoin(F.broadcast(gb))
     pairs = (
-        # keyless repartition: BNLJ parallelism == left partitions, and
-        # the post-aggregation left would otherwise be 1 AQE-coalesced
-        # partition running the whole G^2 loop in one task
-        ga.repartition(64)
-        .crossJoin(F.broadcast(gb))
-        .filter(
+        # keyless repartition above: join parallelism == probe-side
+        # partitions, and the post-aggregation left would otherwise be
+        # 1 AQE-coalesced partition running the whole loop in one task
+        raw.filter(
             (F.col("mask_a") < F.col("mask_b"))
             | ((F.col("mask_a") == F.col("mask_b")) & (F.col("cnt_b") >= 2))
         )
@@ -422,14 +457,17 @@ def _exact_jaccard_bitmask(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+    ge_a = gml.select(F.col("mask").alias("mask_a"), F.col("ids").alias("ids_a"))
+    ge_b = gml.select(F.col("mask").alias("mask_b"), F.col("ids").alias("ids_b"))
     return (
-        pairs.join(
-            dm.select(F.col("mask").alias("mask_a"), F.col("id").alias("_xa")),
-            "mask_a",
+        pairs.join(F.broadcast(ge_a), "mask_a")
+        .select(
+            "mask_a", "mask_b", "jaccard", F.explode("ids_a").alias("_xa")
         )
-        .join(
-            dm.select(F.col("mask").alias("mask_b"), F.col("id").alias("_xb")),
-            "mask_b",
+        .join(F.broadcast(ge_b), "mask_b")
+        .select(
+            "mask_a", "mask_b", "jaccard", "_xa",
+            F.explode("ids_b").alias("_xb"),
         )
         .filter(
             (F.col("mask_a") != F.col("mask_b")) | (F.col("_xa") < F.col("_xb"))
