@@ -54,21 +54,23 @@ def get_spark(
         # for 32 window/sort tasks on the 2M-turn bench (probe records
         # spill_mb to verify).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
-        # G1 young-gen bounds raised from the 5/60 defaults: the pair-
-        # expansion joins (exact-jaccard member expansion, ~300M short-
-        # lived rows) allocate fast enough that default-young G1 spent
-        # 57% of task time in GC (stage taskSummary: 310s GC / 548s run);
-        # young 35-70% cut the jaccard branch 15.5 -> 4.9 s steady with
-        # the pipeline unchanged inside its noise band. Percentages (not
-        # -Xmn) so G1 still shrinks young under old-gen pressure — no
-        # promotion-failure cliff when execution memory grows at scale.
+        # G1 pause goal relaxed for batch throughput: the default 200 ms
+        # goal makes G1 keep the young gen SMALL under a high allocation
+        # rate — the pair-expansion joins (exact-jaccard member
+        # expansion, ~300M short-lived rows/run) then spent 57% of task
+        # time in young GC (stage taskSummary: 310 s GC / 548 s run). A
+        # 1500 ms goal lets G1 grow young adaptively and cut that branch
+        # 13.9 -> 4.6 s steady; pipeline and the Arrow-kernel queries
+        # measured neutral inside their noise bands. Pause latency is
+        # irrelevant to a batch engine; the flag is standard (no
+        # experimental unlock) and G1 stays free to shrink young again
+        # under old-gen pressure.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_DRIVER_JAVA_OPTS",
                 "-Xms" + os.environ.get("SPARK_DRIVER_MEM", "16g")
-                + " -XX:+AlwaysPreTouch -XX:+UnlockExperimentalVMOptions"
-                + " -XX:G1NewSizePercent=35 -XX:G1MaxNewSizePercent=70",
+                + " -XX:+AlwaysPreTouch -XX:MaxGCPauseMillis=1500",
             ),
         )
         .config("spark.ui.enabled", "false")
