@@ -1794,7 +1794,20 @@ def q_transcript_repairs_t2(spark, sf_dir):
     )
     from fineweb_legal_spark.operators.sft import sft_pairs
 
-    t = _widen(spark, spark.read.parquet(str(ensure_transcripts("t2"))))
+    from fineweb_legal_spark.operators.parallel import (
+        repartition_for_group_kernel,
+    )
+
+    # ONE conv_id hash exchange shared by every branch: all eight configs
+    # window/group on conv_id, so a single width-pinned hash repartition
+    # of the scan satisfies each window's clustering requirement and
+    # ReuseExchange collapses the per-branch exchanges (the plan carried
+    # 7 separate conv_id shuffles + 18 scans of the same 360k-row frame).
+    # Replaces _widen here: the hash exchange provides the same
+    # parallelism spread for the single-file fixture scan.
+    t = repartition_for_group_kernel(
+        spark.read.parquet(str(ensure_transcripts("t2"))), "conv_id"
+    )
     co = coerce_roles(t).select(
         "conv_id",
         F.col("new_idx").alias("idx"),
